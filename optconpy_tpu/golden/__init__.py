@@ -1,0 +1,14 @@
+"""golden/ — serial f64 scipy reference implementations (the oracle)."""
+from .dense_lqr import (
+    golden_are,
+    golden_dre_sweep,
+    golden_feedforward,
+    golden_closed_loop,
+)
+
+__all__ = [
+    "golden_are",
+    "golden_dre_sweep",
+    "golden_feedforward",
+    "golden_closed_loop",
+]

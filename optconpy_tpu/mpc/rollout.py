@@ -1,0 +1,76 @@
+"""Closed-loop transient rollouts under lax.scan.
+
+The reference's solve_nse loop (SURVEY.md SS3.4): factor the implicit
+system once, then per step apply feedback (tall-skinny matvecs) and one
+cached triangular solve. Here the linear (LTI / Oseen-linearized)
+rollout is a lax.scan whose body is two dense triangular solves on the
+MXU; scenarios batch via vmap over the initial state / targets, which
+is what "closed-loop MPC solves/s/chip" measures (BASELINE.md).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..fem.operators import LTISystem
+from ..ops.dense import LUSolver
+
+
+def build_step_cache(sys: LTISystem, dt: float) -> LUSolver:
+    """LU of the implicit-Euler system (M/dt - A), factored once."""
+    m_d, a_d = sys.dense()
+    return LUSolver.factor(m_d / dt - a_d)
+
+
+@partial(jax.jit, static_argnames=())
+def closed_loop_rollout(
+    sys: LTISystem,
+    cache: LUSolver,
+    ks: jax.Array,
+    ws: jax.Array,
+    v0: jax.Array,
+    alpha: float,
+    dt: float,
+):
+    """Implicit-Euler forward closed loop; returns (vs, us, ys).
+
+    ks: (nts + 1, m, n) gains; ws: (nts + 1, n) feedforward states;
+    v0: (n,) initial state.
+      u_k = -K_k v_k + (1/alpha) B^T w_k
+      (M/dt - A) v_{k+1} = M v_k / dt + B u_k
+    Matches golden_closed_loop (golden/dense_lqr.py) step-for-step.
+    """
+    bt = sys.b.T
+
+    def step(v, inp):
+        k_gain, w_k = inp
+        u = -(k_gain @ v) + (bt @ w_k) / alpha
+        rhs = sys.mass.matvec(v) / dt + sys.b @ u
+        v_next = cache.apply(rhs)
+        return v_next, (v_next, u)
+
+    _, (vs_tail, us) = jax.lax.scan(step, v0, (ks[:-1], ws[:-1]))
+    vs = jnp.concatenate([v0[None], vs_tail], axis=0)
+    ys = vs @ sys.c.T
+    return vs, us, ys
+
+
+def batched_closed_loop(
+    sys: LTISystem,
+    cache: LUSolver,
+    ks: jax.Array,
+    ws: jax.Array,
+    v0_batch: jax.Array,
+    alpha: float,
+    dt: float,
+):
+    """vmap over a scenario batch of initial states: v0_batch (S, n).
+
+    Gains/feedforward are shared (same linearization) — the batched MPC
+    inner kernel; sharding of the S axis lives in parallel/.
+    """
+    return jax.vmap(
+        lambda v0: closed_loop_rollout(sys, cache, ks, ws, v0, alpha, dt)
+    )(v0_batch)

@@ -1,0 +1,121 @@
+"""Differential Riccati equation — backward implicit-Euler sweep.
+
+  -M^T X' M = A^T X M + M^T X A - M^T X B R^-1 B^T X M + C^T C,
+  X(tE) = X_T (default 0), R = alpha I.
+
+Implicit Euler in X turns every backward step into a generalized ARE
+with the CONSTANT time-shifted matrix  Atil = A - M/(2 dt)  and constant
+term  C^T C + M^T X_{k+1} M / dt  (derivation in golden/dense_lqr.py,
+which implements the identical scheme densely in f64 — the oracle).
+Because Atil is time-independent, ONE batched shifted-LU cache serves
+the whole sweep; each step runs a warm-started Newton-ADI with the
+previous step's gain (the reference's per-step DRE structure,
+SURVEY.md SS3.1 backward sweep, SS2 row 6). The sweep itself is a
+lax.scan over timesteps with static (n, r_max) factor buffers.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.operators import LTISystem
+from ..solvers.shifted import ShiftedLUCache
+from . import shifts as shiftmod
+from .newton_kleinman import newton_adi_are
+
+
+def dre_shift_schedule(
+    a_np, m_np, dt: float, num_shifts: int = 12, n_adi: int = 24
+):
+    """Host-side shift setup for the DRE's time-shifted pencil.
+
+    Computes the spectral interval of (A, M) once, shifts it by 1/(2 dt)
+    analytically (riccati/shifts.py), and returns the Wachspress shifts
+    plus the cycled per-iteration schedule (values + cache indices).
+    """
+    a_min, a_max = shiftmod.spectral_interval(a_np, m_np)
+    a_min_s, a_max_s = shiftmod.dre_shifted_interval(a_min, a_max, dt)
+    sig = shiftmod.wachspress_shifts(a_min_s, a_max_s, num_shifts)
+    idx = np.arange(num_shifts, dtype=np.int32)
+    reps = int(np.ceil(n_adi / num_shifts))
+    sigma_seq = np.tile(sig, reps)[:n_adi]
+    idx_seq = np.tile(idx, reps)[:n_adi]
+    return sig, sigma_seq, idx_seq
+
+
+def build_dre_cache(
+    sys: LTISystem, dt: float, sig: np.ndarray, dtype=None
+) -> ShiftedLUCache:
+    """Batched LU of (Atil^T + sigma_j M), Atil = A - M/(2 dt)."""
+    m_d, a_d = sys.dense()
+    at_til = a_d.T - m_d / (2.0 * dt)  # M symmetric
+    if dtype is not None:
+        at_til = at_til.astype(dtype)
+        m_d = m_d.astype(dtype)
+    return ShiftedLUCache.build(at_til, m_d, jnp.asarray(sig, at_til.dtype))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nts", "n_newton", "r_max"),
+)
+def dre_backward_sweep(
+    sys: LTISystem,
+    cache: ShiftedLUCache,
+    alpha: float,
+    dt: float,
+    nts: int,
+    sigma_seq: jax.Array,
+    idx_seq: jax.Array,
+    n_newton: int = 2,
+    r_max: int = 40,
+    compress_rtol: float = 1e-9,
+):
+    """Backward DRE sweep; returns (zs, ks) with
+
+    zs: (nts + 1, n, r_max) low-rank factors, X_k ~= Z_k Z_k^T
+        (zs[nts] = terminal = 0),
+    ks: (nts + 1, m, n) feedback gains K_k = (1/alpha) B^T X_k M.
+
+    Warm start: each step's Newton begins from the previous (later-time)
+    step's gain, so n_newton = 1-2 suffices (SURVEY.md SS3.1).
+    """
+    n, m = sys.b.shape
+    dtype = sys.b.dtype
+    inv_sqrt_dt = 1.0 / jnp.sqrt(jnp.asarray(dt, dtype))
+
+    z_terminal = jnp.zeros((n, r_max), dtype)
+    k_terminal = jnp.zeros((m, n), dtype)
+
+    def step(carry, _):
+        z_next, k_next = carry
+        w_extra = sys.mass.matmat(z_next) * inv_sqrt_dt
+        z_k, k_k = newton_adi_are(
+            sys,
+            cache,
+            alpha,
+            sigma_seq,
+            idx_seq,
+            n_newton=n_newton,
+            out_rank=r_max,
+            k0=k_next,
+            w_extra=w_extra,
+            extra_w_cols=r_max,
+            compress_rtol=compress_rtol,
+        )
+        return (z_k, k_k), (z_k, k_k)
+
+    (_, _), (zs_rev, ks_rev) = jax.lax.scan(
+        step, (z_terminal, k_terminal), None, length=nts
+    )
+    # scan emitted [X_{nts-1}, ..., X_0]; flip and append terminal.
+    zs = jnp.concatenate(
+        [jnp.flip(zs_rev, axis=0), z_terminal[None]], axis=0
+    )
+    ks = jnp.concatenate(
+        [jnp.flip(ks_rev, axis=0), k_terminal[None]], axis=0
+    )
+    return zs, ks
