@@ -1,0 +1,19 @@
+"""Runtime configuration for TPU execution.
+
+VERIFIED ON HARDWARE (v5e, config-1 drive): with JAX's default matmul
+precision, the f32 DRE sweep + closed loop lands ~2.8e-3 relative to
+the f64 golden — failing the 1e-4 north-star bound — because TPU f32
+matmuls default to bf16 multiplications. With 'highest' (3/6-pass f32
+emulation on the MXU) the same run lands ~1.8e-5 at equal-or-better
+wall clock for this workload (solve-dominated, small matrices). This is
+SURVEY.md SS7 hard part 2's main mitigation; call setup() before any
+jit on device.
+"""
+from __future__ import annotations
+
+import jax
+
+
+def setup(matmul_precision: str = "highest") -> None:
+    """Configure JAX for the solver workload (idempotent)."""
+    jax.config.update("jax_default_matmul_precision", matmul_precision)
