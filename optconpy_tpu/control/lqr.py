@@ -27,6 +27,15 @@ def build_costate_cache(sys: LTISystem, dt: float) -> LUSolver:
     return LUSolver.factor(m_d.T / dt - a_d.T)
 
 
+def build_costate_cache_dae(sys, dt: float):
+    """Saddle LU of [[M^T/dt - A^T, J^T], [J, 0]]: the adjoint DAE's
+    feedforward sweep (costate w also lives in ker J)."""
+    from ..solvers.saddle import SaddleLU
+
+    m_d, a_d, j_d = sys.dense()
+    return SaddleLU.build(m_d.T / dt - a_d.T, j_d)
+
+
 @partial(jax.jit, static_argnames=())
 def feedforward_sweep(
     sys: LTISystem,

@@ -5,10 +5,15 @@ from .dense_lqr import (
     golden_feedforward,
     golden_closed_loop,
 )
+from .dae_reduce import nullspace_basis, reduce_dae, lift_gain, lift_x
 
 __all__ = [
     "golden_are",
     "golden_dre_sweep",
     "golden_feedforward",
     "golden_closed_loop",
+    "nullspace_basis",
+    "reduce_dae",
+    "lift_gain",
+    "lift_x",
 ]

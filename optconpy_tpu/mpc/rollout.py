@@ -24,6 +24,18 @@ def build_step_cache(sys: LTISystem, dt: float) -> LUSolver:
     return LUSolver.factor(m_d / dt - a_d)
 
 
+def build_step_cache_dae(sys, dt: float):
+    """Saddle LU of [[M/dt - A, J^T], [J, 0]] for constrained rollouts.
+
+    SaddleLU.apply returns the velocity block, so closed_loop_rollout
+    works unchanged for DAE systems (iterates stay in ker J).
+    """
+    from ..solvers.saddle import SaddleLU
+
+    m_d, a_d, j_d = sys.dense()
+    return SaddleLU.build(m_d / dt - a_d, j_d)
+
+
 @partial(jax.jit, static_argnames=())
 def closed_loop_rollout(
     sys: LTISystem,

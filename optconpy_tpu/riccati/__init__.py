@@ -1,16 +1,26 @@
 """riccati/ — low-rank matrix-equation engine (SURVEY.md SS7 layer 4)."""
 from .shifts import (
     spectral_interval,
+    spectral_interval_dae,
     wachspress_shifts,
     cycled_shifts,
     dre_shifted_interval,
 )
 from .lyap_adi import lowrank_adi, lyap_residual_norm
 from .newton_kleinman import newton_adi_are, gain_from_factor
-from .dre import dre_shift_schedule, build_dre_cache, dre_backward_sweep
+from .dre import (
+    dre_shift_schedule,
+    dre_shift_schedule_dae,
+    build_dre_cache,
+    build_dre_cache_dae,
+    dre_backward_sweep,
+)
 
 __all__ = [
     "spectral_interval",
+    "spectral_interval_dae",
+    "dre_shift_schedule_dae",
+    "build_dre_cache_dae",
     "wachspress_shifts",
     "cycled_shifts",
     "dre_shifted_interval",

@@ -58,6 +58,34 @@ def build_dre_cache(
     return ShiftedLUCache.build(at_til, m_d, jnp.asarray(sig, at_til.dtype))
 
 
+def dre_shift_schedule_dae(
+    a_np, m_np, j_np, dt: float, num_shifts: int = 12, n_adi: int = 24
+):
+    """Shift setup for constrained systems: projected spectral interval
+    of (A, M)|ker J, time-shifted analytically (riccati/shifts.py)."""
+    a_min, a_max = shiftmod.spectral_interval_dae(a_np, m_np, j_np)
+    a_min_s, a_max_s = shiftmod.dre_shifted_interval(a_min, a_max, dt)
+    sig = shiftmod.wachspress_shifts(a_min_s, a_max_s, num_shifts)
+    idx = np.arange(num_shifts, dtype=np.int32)
+    reps = int(np.ceil(n_adi / num_shifts))
+    return sig, np.tile(sig, reps)[:n_adi], np.tile(idx, reps)[:n_adi]
+
+
+def build_dre_cache_dae(sys, dt: float, sig: np.ndarray, dtype=None):
+    """Batched saddle LU of [[Atil^T + sigma M, J^T], [J, 0]]."""
+    from ..solvers.saddle import SaddleShiftedLUCache
+
+    m_d, a_d, j_d = sys.dense()
+    at_til = a_d.T - m_d / (2.0 * dt)
+    if dtype is not None:
+        at_til = at_til.astype(dtype)
+        m_d = m_d.astype(dtype)
+        j_d = j_d.astype(dtype)
+    return SaddleShiftedLUCache.build(
+        at_til, m_d, j_d, jnp.asarray(sig, at_til.dtype)
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("nts", "n_newton", "r_max"),

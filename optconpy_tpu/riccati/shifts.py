@@ -45,6 +45,25 @@ def spectral_interval(a, m) -> tuple[float, float]:
     return float(re.min()), float(re.max())
 
 
+def spectral_interval_dae(a_sp, m_sp, j_sp) -> tuple[float, float]:
+    """Spectral interval of the PROJECTED pencil (A, M) restricted to
+    ker J — the spectrum that governs constrained ADI convergence.
+
+    Host-side: reduce with an M-orthonormal kernel basis (dense; fine
+    for setup-time moderate n, SURVEY.md SS7 hard part 3) and take the
+    interval of the reduced standard pencil.
+    """
+    from ..golden.dae_reduce import nullspace_basis
+
+    theta = nullspace_basis(j_sp, m_sp)
+    a = a_sp.toarray() if sp.issparse(a_sp) else np.asarray(a_sp)
+    at = theta.T @ a @ theta
+    lam = np.linalg.eigvals(at)
+    re = -np.real(lam)
+    re = re[re > 0]
+    return float(re.min()), float(re.max())
+
+
 def wachspress_shifts(a_min: float, a_max: float, num: int) -> np.ndarray:
     """Log-spaced real negative shifts covering [-a_max, -a_min].
 

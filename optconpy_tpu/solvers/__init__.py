@@ -1,4 +1,10 @@
 """solvers/ — Krylov, saddle-point, shifted-system solvers."""
 from .shifted import ShiftedLUCache
+from .saddle import SaddleLU, SaddleShiftedLUCache, solve_sadpnt_scipy
 
-__all__ = ["ShiftedLUCache"]
+__all__ = [
+    "ShiftedLUCache",
+    "SaddleLU",
+    "SaddleShiftedLUCache",
+    "solve_sadpnt_scipy",
+]

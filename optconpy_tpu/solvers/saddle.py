@@ -1,0 +1,166 @@
+"""Saddle-point solvers: [[F, J^T], [J, 0]] systems.
+
+The reference funnels every constrained solve through
+solve_sadpnt_smw on a cached SuperLU factorization (SURVEY.md SS2 row
+5, SS3.2-3.4). TPU-native equivalents here:
+
+  * SaddleLU / SaddleShiftedLUCache — ONE batched dense LU of the
+    (n+np) saddle matrix (per shift), MXU-built, reused for every
+    solve; feedback updates via SMW on padded low-rank factors. The
+    velocity-block solve applies the discrete Leray projection
+    implicitly (iterates stay in ker J) — the app_prj_via_sadpnt
+    contract, with the projector never formed.
+  * Host-side scipy golden (solve_sadpnt_scipy) for oracles.
+
+For problem sizes where dense factors don't fit, solvers/krylov.py
+provides the matrix-free path behind the same solve contract.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lowrank import smw_solve
+
+
+def solve_sadpnt_scipy(a_sp, j_sp, rhs_v, rhs_p=None):
+    """Host golden: sparse-LU saddle solve; returns (v, p)."""
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    n = a_sp.shape[0]
+    n_p = j_sp.shape[0]
+    if rhs_p is None:
+        rhs_p = np.zeros(n_p)
+    big = sp.bmat(
+        [[a_sp, j_sp.T], [j_sp, None]], format="csc"
+    )
+    sol = spla.spsolve(big, np.concatenate([rhs_v, rhs_p]))
+    return sol[:n], sol[n:]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("lu", "piv"),
+    meta_fields=("n",),
+)
+@dataclass(frozen=True)
+class SaddleLU:
+    """Cached dense LU of one saddle matrix; solves return velocity+pressure."""
+
+    lu: jax.Array
+    piv: jax.Array
+    n: int  # velocity block size
+
+    @staticmethod
+    def build(f_dense: jax.Array, j_dense: jax.Array) -> "SaddleLU":
+        n = f_dense.shape[0]
+        n_p = j_dense.shape[0]
+        dtype = f_dense.dtype
+        big = jnp.zeros((n + n_p, n + n_p), dtype)
+        big = big.at[:n, :n].set(f_dense)
+        big = big.at[:n, n:].set(j_dense.T)
+        big = big.at[n:, :n].set(j_dense)
+        lu, piv = jax.scipy.linalg.lu_factor(big)
+        return SaddleLU(lu, piv, n)
+
+    def apply(self, rhs_v: jax.Array, rhs_p: jax.Array | None = None):
+        """Solve; rhs_v (n,) or (n, k). Returns velocity block only."""
+        squeeze = rhs_v.ndim == 1
+        if squeeze:
+            rhs_v = rhs_v[:, None]
+        n_p = self.lu.shape[0] - self.n
+        if rhs_p is None:
+            rhs_p = jnp.zeros((n_p, rhs_v.shape[1]), rhs_v.dtype)
+        elif rhs_p.ndim == 1:
+            rhs_p = rhs_p[:, None]
+        big_rhs = jnp.concatenate([rhs_v, rhs_p], axis=0)
+        sol = jax.scipy.linalg.lu_solve((self.lu, self.piv), big_rhs)
+        v = sol[: self.n]
+        return v[:, 0] if squeeze else v
+
+    def apply_full(self, rhs_v: jax.Array, rhs_p: jax.Array):
+        """Solve returning (velocity, pressure)."""
+        squeeze = rhs_v.ndim == 1
+        rv = rhs_v[:, None] if squeeze else rhs_v
+        rp = rhs_p[:, None] if squeeze else rhs_p
+        sol = jax.scipy.linalg.lu_solve(
+            (self.lu, self.piv), jnp.concatenate([rv, rp], axis=0)
+        )
+        v, p = sol[: self.n], sol[self.n :]
+        return (v[:, 0], p[:, 0]) if squeeze else (v, p)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("lu", "piv"),
+    meta_fields=("n",),
+)
+@dataclass(frozen=True)
+class SaddleShiftedLUCache:
+    """Batched dense LU of [[A^T + sigma_i M, J^T], [J, 0]] over shifts.
+
+    Same solve/solve_smw contract as solvers.shifted.ShiftedLUCache but
+    on the constrained (index-2 DAE) velocity space: every solve keeps
+    its result in ker J (implicit Leray projection), which is exactly
+    what keeps ADI iterates feasible (SURVEY.md SS3.3).
+    """
+
+    lu: jax.Array
+    piv: jax.Array
+    n: int
+
+    @staticmethod
+    def build(
+        at_dense: jax.Array,
+        m_dense: jax.Array,
+        j_dense: jax.Array,
+        shifts: jax.Array,
+    ) -> "SaddleShiftedLUCache":
+        n = at_dense.shape[0]
+        n_p = j_dense.shape[0]
+        dtype = at_dense.dtype
+
+        def one(sigma):
+            big = jnp.zeros((n + n_p, n + n_p), dtype)
+            big = big.at[:n, :n].set(at_dense + sigma * m_dense)
+            big = big.at[:n, n:].set(j_dense.T)
+            big = big.at[n:, :n].set(j_dense)
+            return jax.scipy.linalg.lu_factor(big)
+
+        lu, piv = jax.vmap(one)(shifts)
+        return SaddleShiftedLUCache(lu, piv, n)
+
+    def _solve_padded(self, i: jax.Array, rhs_v: jax.Array) -> jax.Array:
+        lu_i = jax.lax.dynamic_index_in_dim(self.lu, i, keepdims=False)
+        piv_i = jax.lax.dynamic_index_in_dim(self.piv, i, keepdims=False)
+        squeeze = rhs_v.ndim == 1
+        if squeeze:
+            rhs_v = rhs_v[:, None]
+        n_p = self.lu.shape[1] - self.n
+        big_rhs = jnp.concatenate(
+            [rhs_v, jnp.zeros((n_p, rhs_v.shape[1]), rhs_v.dtype)], axis=0
+        )
+        sol = jax.scipy.linalg.lu_solve((lu_i, piv_i), big_rhs)
+        v = sol[: self.n]
+        return v[:, 0] if squeeze else v
+
+    def solve(self, i: jax.Array, rhs: jax.Array) -> jax.Array:
+        return self._solve_padded(i, rhs)
+
+    def solve_smw(
+        self, i: jax.Array, u: jax.Array, v: jax.Array, rhs: jax.Array
+    ) -> jax.Array:
+        """Feedback-shifted saddle solve via SMW on the velocity block.
+
+        Solves the saddle system whose velocity block is
+        (A^T + sigma M - U V^T); U, V live on the velocity space only
+        (the constraint rows are untouched by feedback).
+        """
+        return smw_solve(
+            lambda r: self._solve_padded(i, r), u, v, rhs
+        )
