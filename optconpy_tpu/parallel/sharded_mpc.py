@@ -1,0 +1,62 @@
+"""Sharded batched MPC rollouts — shard_map over the scenario axis.
+
+Config 5 (BASELINE.md): thousands of scenario rollouts sharded across a
+multi-host slice. Gains/operators are replicated (they are shared by
+every scenario of one linearization); only the scenario batch is
+sharded. Aggregate statistics (mean tracking cost, worst-case output
+error) are block-reduced with jax.lax.psum over ICI/DCN — the only
+collectives this workload needs (SURVEY.md SS5.8).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mpc.rollout import closed_loop_rollout
+
+
+def sharded_closed_loop(
+    mesh: Mesh,
+    sys,
+    cache,
+    ks: jax.Array,
+    ws: jax.Array,
+    v0_batch: jax.Array,
+    alpha: float,
+    dt: float,
+    axis: str = "scenario",
+):
+    """Run the batched linear closed loop with the scenario axis sharded.
+
+    Returns (ys (S, nts+1, p), stats dict of globally psum-reduced
+    scalars). v0_batch must be shardable by mesh (S % n_devices == 0).
+    """
+
+    def local_block(v0_local):
+        vs, us, ys = jax.vmap(
+            lambda v0: closed_loop_rollout(
+                sys, cache, ks, ws, v0, alpha, dt
+            )
+        )(v0_local)
+        # Block reductions ride ICI/DCN via psum.
+        local_cost = jnp.sum(ys**2) * dt + alpha * jnp.sum(us**2) * dt
+        total_cost = jax.lax.psum(local_cost, axis)
+        n_total = jax.lax.psum(v0_local.shape[0], axis)
+        local_max = jnp.max(jnp.abs(ys))
+        global_max = jax.lax.pmax(local_max, axis)
+        return ys, {
+            "mean_cost": total_cost / n_total,
+            "max_abs_y": global_max,
+        }
+
+    fn = jax.shard_map(
+        local_block,
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=(P(axis), {"mean_cost": P(), "max_abs_y": P()}),
+        check_vma=False,
+    )
+    return jax.jit(fn)(v0_batch)
