@@ -4,6 +4,7 @@ from .dense_lqr import (
     golden_dre_sweep,
     golden_feedforward,
     golden_closed_loop,
+    golden_closed_loop_implicit,
 )
 from .dae_reduce import nullspace_basis, reduce_dae, lift_gain, lift_x
 
@@ -12,6 +13,7 @@ __all__ = [
     "golden_dre_sweep",
     "golden_feedforward",
     "golden_closed_loop",
+    "golden_closed_loop_implicit",
     "nullspace_basis",
     "reduce_dae",
     "lift_gain",

@@ -102,3 +102,30 @@ def golden_closed_loop(
         vs[k + 1] = sla.lu_solve((lu, piv), rhs)
         ys[k + 1] = c @ vs[k + 1]
     return vs, us, ys
+
+
+def golden_closed_loop_implicit(
+    m, a, b, c, alpha: float, dt: float, xs: list, ws, v0
+):
+    """Implicit-Euler forward loop with IMPLICIT feedback; returns
+    (vs, us, ys). Oracle for closed_loop_rollout(feedback='implicit'):
+      (M/dt - A + B K_k) v_{k+1} = M v_k/dt + (1/alpha) B B^T w_k,
+      u_k = -K_k v_{k+1} + (1/alpha) B^T w_k,  K_k = (1/alpha) B^T X_k M.
+    """
+    m, a, b, c = map(_dense, (m, a, b, c))
+    nts = len(xs) - 1
+    n = m.shape[0]
+    vs = np.zeros((nts + 1, n))
+    us = np.zeros((nts, b.shape[1]))
+    ys = np.zeros((nts + 1, c.shape[0]))
+    vs[0] = np.asarray(v0)
+    ys[0] = c @ vs[0]
+    for k in range(nts):
+        wk = ws[k] if ws is not None else np.zeros(n)
+        kk = (b.T @ xs[k] @ m) / alpha
+        uff = (b.T @ wk) / alpha
+        rhs = m @ vs[k] / dt + b @ uff
+        vs[k + 1] = np.linalg.solve(m / dt - a + b @ kk, rhs)
+        us[k] = -(kk @ vs[k + 1]) + uff
+        ys[k + 1] = c @ vs[k + 1]
+    return vs, us, ys

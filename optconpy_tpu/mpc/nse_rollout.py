@@ -114,7 +114,7 @@ def build_nse_step_cache(
     return SaddleLU.build(m_dense / dt - a_stokes_dense, j_dense)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("feedback",))
 def nse_closed_loop_rollout(
     sys,
     conv: ConvKernel,
@@ -124,23 +124,53 @@ def nse_closed_loop_rollout(
     v0: jax.Array,
     alpha: float,
     dt: float,
+    feedback: str = "explicit",
 ):
     """Nonlinear closed loop; returns (vs, us, ys).
 
     sys: DAESystem whose stiff is the LINEARIZED operator (for gains);
     mass/b/c are shared with the nonlinear plant.
     ks: (nts+1, m, n); ws: (nts+1, n) feedforward states; v0: (n,).
+
+    feedback='explicit': u_k from the current state v_k.
+    feedback='implicit': u_k = -K_k (v_{k+1} - vbar) + ff, with B K_k
+    folded into the implicit solve via SMW on the cached saddle LU —
+    required when the closed-loop poles exceed 1/dt (cheap control);
+    G = lu^-1 B is constant so the extra cost is one (m, m) solve/step.
     """
     bt = sys.b.T
     vbar = cache.vbar
 
-    def step(v, inp):
-        k_gain, w_k = inp
-        u = -(k_gain @ (v - vbar)) + (bt @ w_k) / alpha
-        expl = conv.conv_inner(v) - cache.l1_imp @ v
-        rhs_v = sys.mass.matvec(v) / dt - expl + sys.b @ u - cache.fv
-        v_next = cache.lu.apply(rhs_v, cache.fp)
-        return v_next, (v_next, u)
+    if feedback == "implicit":
+        n_p = cache.fp.shape[0]
+        gmat = cache.lu.apply(
+            sys.b, jnp.zeros((n_p, sys.m_in), sys.b.dtype)
+        )  # (n, m), constant across steps
+        eye_m = jnp.eye(sys.m_in, dtype=sys.b.dtype)
+
+        def step(v, inp):
+            k_gain, w_k = inp
+            uff = (bt @ w_k) / alpha + k_gain @ vbar
+            expl = conv.conv_inner(v) - cache.l1_imp @ v
+            rhs_v = (
+                sys.mass.matvec(v) / dt - expl + sys.b @ uff - cache.fv
+            )
+            x0 = cache.lu.apply(rhs_v, cache.fp)
+            s_small = eye_m + k_gain @ gmat
+            corr = jnp.linalg.solve(s_small, k_gain @ x0)
+            v_next = x0 - gmat @ corr
+            u = -(k_gain @ (v_next - vbar)) + (bt @ w_k) / alpha
+            return v_next, (v_next, u)
+
+    else:
+
+        def step(v, inp):
+            k_gain, w_k = inp
+            u = -(k_gain @ (v - vbar)) + (bt @ w_k) / alpha
+            expl = conv.conv_inner(v) - cache.l1_imp @ v
+            rhs_v = sys.mass.matvec(v) / dt - expl + sys.b @ u - cache.fv
+            v_next = cache.lu.apply(rhs_v, cache.fp)
+            return v_next, (v_next, u)
 
     _, (vs_tail, us) = jax.lax.scan(step, v0, (ks[:-1], ws[:-1]))
     vs = jnp.concatenate([v0[None], vs_tail], axis=0)
@@ -157,10 +187,11 @@ def batched_nse_closed_loop(
     v0_batch: jax.Array,
     alpha: float,
     dt: float,
+    feedback: str = "explicit",
 ):
     """vmap over scenario initial states v0_batch (S, n)."""
     return jax.vmap(
         lambda v0: nse_closed_loop_rollout(
-            sys, conv, cache, ks, ws, v0, alpha, dt
+            sys, conv, cache, ks, ws, v0, alpha, dt, feedback
         )
     )(v0_batch)

@@ -1,0 +1,217 @@
+"""optcon_nse — the end-to-end experiment driver (L5).
+
+Parity with the reference's optcont_main.optcon_nse (SURVEY.md SS2 row
+1, SS3.1): assemble -> steady state -> B/C operators -> target y* ->
+backward DRE sweep (gain factors per timestep) -> feedforward sweep ->
+forward closed-loop sweep -> outputs. Differences are the TPU-first
+redesign: the backward/forward sweeps are jitted lax.scans on device,
+gains are checkpointed as one npz artifact keyed by the config hash
+(utils/cache.py), and the forward sweep can roll out a whole scenario
+batch at once (the reference is strictly one trajectory per run).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from .utils.cache import load_or_comp, write_meta
+from .utils.config import OptConConfig
+from .utils.metrics import MetricsLogger
+
+
+@dataclass
+class OptConResult:
+    """Outputs of one optcon_nse run (host-side numpy)."""
+
+    cfg: OptConConfig
+    times: np.ndarray  # (nts+1,)
+    ys: np.ndarray  # (S, nts+1, p) closed-loop outputs
+    us: np.ndarray  # (S, nts, m) control inputs
+    ystar: np.ndarray  # (nts+1, p) target
+    cost: float  # mean tracking cost over scenarios
+    gains: Any  # (nts+1, m, n) device array
+    extras: dict
+
+
+def get_ystarvec(
+    cost_cfg, times: np.ndarray, p: int, y_ref: np.ndarray | None = None
+) -> np.ndarray:
+    """Target output signal y*(t): (nts+1, p).
+
+    Parity with cont_obs_utils.get_ystarvec (SURVEY.md SS2 row 4):
+    'zero' regulates to the output origin, 'const' holds an absolute
+    step, 'steady_offset' holds y_ref + amp (a reachable perturbation
+    of the steady output), 'sin' rides a sinusoid on y_ref.
+    """
+    nts1 = len(times)
+    if y_ref is None:
+        y_ref = np.zeros(p)
+    if cost_cfg.ystar == "zero":
+        return np.zeros((nts1, p))
+    if cost_cfg.ystar == "const":
+        return np.full((nts1, p), cost_cfg.ystar_amp)
+    if cost_cfg.ystar == "steady_offset":
+        return np.tile(y_ref[None, :], (nts1, 1)) + cost_cfg.ystar_amp
+    if cost_cfg.ystar == "sin":
+        sig = cost_cfg.ystar_amp * np.sin(
+            2.0 * np.pi * cost_cfg.ystar_freq * times
+        )
+        return np.tile(y_ref[None, :], (nts1, 1)) + sig[:, None]
+    raise ValueError(f"unknown ystar family: {cost_cfg.ystar}")
+
+
+def _setup_problem(cfg: OptConConfig):
+    """Dispatch to the problem family; returns (np_ops, sys64, cond)."""
+    p = cfg.problem
+    if p.name == "cylinderwake":
+        from .models.cylinder import cylinder_setup
+
+        return cylinder_setup(re=p.re, refinement=p.refinement)
+    if p.name == "drivencavity":
+        from .models.cavity import cavity_stokes_setup
+        from .solvers.saddle import solve_sadpnt_scipy
+
+        np_ops, sys, cond = cavity_stokes_setup(nx=p.nx)
+        # Linearization point = steady Stokes cavity flow (the lid-driven
+        # vortex); at the cavity's low Re the Stokes operator is the
+        # correct linearization and the nonlinear forward sweep is a
+        # consistency refinement over the reference's linear rollout.
+        v_i, _ = solve_sadpnt_scipy(
+            np_ops["A"], np_ops["J"], np_ops["fv"], np_ops["fp"]
+        )
+        np_ops["vbar_full"] = cond.expand(v_i)
+        return np_ops, sys, cond
+    raise ValueError(f"unknown problem: {p.name}")
+
+
+def optcon_nse(
+    cfg: OptConConfig,
+    v0_batch: np.ndarray | None = None,
+    cache_dir: str | None = None,
+    metrics: MetricsLogger | None = None,
+    vtk_dir: str | None = None,
+    controlled: bool = True,
+) -> OptConResult:
+    """Run the full backward-forward optimal-control pipeline.
+
+    v0_batch: (S, n) initial inner states; default = one scenario at
+    the steady state (+nothing). Gains/feedforward are computed once
+    and shared across the batch (same linearization), then the forward
+    sweep is vmapped over scenarios.
+    controlled=False skips the backward sweeps and rolls out the plain
+    plant (u = 0) — the comparison baseline for every controlled run.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import utils
+    from .control import build_costate_cache_dae, feedforward_sweep
+    from .fem.device_conv import ConvKernel
+    from .mpc import build_nse_stepper, batched_nse_closed_loop
+    from .riccati import (
+        build_dre_cache_dae,
+        dre_backward_sweep,
+        dre_shift_schedule_dae,
+    )
+
+    utils.setup(cfg.solver.matmul_precision)
+    met = metrics or MetricsLogger()
+    key = cfg.hash()
+    write_meta(key, {"config": cfg.to_json()}, cache_dir)
+    dtype = jnp.dtype(cfg.solver.dtype)
+    dt = cfg.time.dt
+    nts = cfg.time.nts
+    times = cfg.time.t0 + dt * np.arange(nts + 1)
+
+    with met.timed("setup", problem=cfg.problem.name):
+        np_ops, sys64, cond = _setup_problem(cfg)
+    sys = sys64.astype(dtype)
+    n, m = sys.b.shape
+    p_out = sys.p_out
+    met.log("operators", n=n, n_p=sys.n_p, m=m, p=p_out)
+
+    # --- Backward DRE sweep: per-timestep gains (checkpointed). ---
+    def compute_gains():
+        sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+            np_ops["A"], np_ops["M"], np_ops["J"], dt,
+            num_shifts=cfg.solver.num_shifts, n_adi=cfg.solver.n_adi,
+        )
+        cache = build_dre_cache_dae(sys, dt, sig, dtype=dtype)
+        zs, ks = dre_backward_sweep(
+            sys, cache, cfg.cost.alpha, dt, nts,
+            jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+            n_newton=cfg.solver.n_newton, r_max=cfg.solver.r_max,
+        )
+        return {"ks": np.asarray(ks), "z0": np.asarray(zs[0])}
+
+    vbar_i = cond.restrict(np_ops["vbar_full"])
+    y_bar = np.asarray(np_ops["C"] @ vbar_i)
+    ystar = get_ystarvec(cfg.cost, times, p_out, y_ref=y_bar)
+
+    if controlled:
+        with met.timed("dre_backward_sweep", nts=nts):
+            gains = load_or_comp(key, "gains", compute_gains, cache_dir)
+        ks = jnp.asarray(gains["ks"], dtype)
+
+        # --- Feedforward sweep (perturbation coordinates). ---
+        ystar_delta = jnp.asarray(ystar - y_bar[None, :], dtype)
+        with met.timed("feedforward_sweep"):
+            costate_cache = build_costate_cache_dae(sys, dt)
+            ws = feedforward_sweep(sys, costate_cache, ks, ystar_delta, dt)
+    else:
+        ks = jnp.zeros((nts + 1, m, n), dtype)
+        ws = jnp.zeros((nts + 1, n), dtype)
+
+    # --- Forward nonlinear closed-loop sweep. ---
+    conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
+    stepper = build_nse_stepper(
+        np_ops, cond, dt, dtype=dtype, scheme=cfg.solver.imex_scheme
+    )
+    if v0_batch is None:
+        v0_batch = np.asarray(vbar_i)[None, :]
+    v0_dev = jnp.asarray(v0_batch, dtype)
+    with met.timed("closed_loop_rollout", scenarios=len(v0_batch)):
+        vs, us, ys = batched_nse_closed_loop(
+            sys, conv, stepper, ks, ws, v0_dev, cfg.cost.alpha, dt,
+            feedback=cfg.solver.feedback,
+        )
+        vs, us, ys = jax.block_until_ready((vs, us, ys))
+
+    ys_np = np.asarray(ys)
+    us_np = np.asarray(us)
+    track_err = ys_np - ystar[None, :, :]
+    cost = float(
+        np.mean(
+            np.sum(track_err**2, axis=(1, 2)) * dt
+            + cfg.cost.alpha * np.sum(us_np**2, axis=(1, 2)) * dt
+        )
+    )
+    met.log("result", cost=cost, max_abs_y=float(np.abs(ys_np).max()))
+
+    if vtk_dir is not None:
+        from .utils.vtk import write_vtk_series
+
+        vs0_full = np.stack(
+            [cond.expand(np.asarray(v)) for v in np.asarray(vs[0])]
+        )
+        write_vtk_series(
+            vtk_dir, np_ops["space"], vs0_full, times,
+            stride=max(1, nts // 20),
+        )
+
+    return OptConResult(
+        cfg=cfg,
+        times=times,
+        ys=ys_np,
+        us=us_np,
+        ystar=ystar,
+        cost=cost,
+        gains=ks,
+        extras={
+            "metrics": met.records,
+            "steady_info": np_ops.get("steady_info"),
+            "cache_key": key,
+        },
+    )

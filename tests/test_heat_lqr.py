@@ -222,3 +222,40 @@ def test_closed_loop_matches_golden(heat, dre_solution):
     # control shuts off — X(T)=w(T)=0 with no terminal cost — and the
     # heat state decays, so the terminal output is NOT near the target).
     assert abs(float(ys[NTS // 2, 0]) - 0.232) < 0.05
+
+
+def test_implicit_feedback_matches_golden(heat, dre_solution):
+    """SMW-implicit feedback rollout vs its dense f64 oracle, and
+    agreement with the explicit loop to O(dt) (same continuous limit)."""
+    from optconpy_tpu.golden import golden_closed_loop_implicit
+
+    np_ops, sys = heat
+    zs, ks, xs_gold = dre_solution
+    v0 = initial_state(N)
+    ystar = np.tile(np.array([0.25]), (NTS + 1, 1))
+    ws_gold = golden_feedforward(
+        np_ops["M"], np_ops["A"], np_ops["B"], np_ops["C"],
+        ALPHA, DT, xs_gold, ystar,
+    )
+    vs_g, us_g, ys_g = golden_closed_loop_implicit(
+        np_ops["M"], np_ops["A"], np_ops["B"], np_ops["C"],
+        ALPHA, DT, xs_gold, ws_gold, v0,
+    )
+    cost_cache = build_costate_cache(sys, DT)
+    ws = feedforward_sweep(sys, cost_cache, ks, jnp.asarray(ystar), DT)
+    step_cache = build_step_cache(sys, DT)
+    vs, us, ys = closed_loop_rollout(
+        sys, step_cache, ks, ws, jnp.asarray(v0), ALPHA, DT,
+        feedback="implicit",
+    )
+    rel_v = np.linalg.norm(np.asarray(vs) - vs_g) / np.linalg.norm(vs_g)
+    assert rel_v < 1e-4, rel_v
+    # Same continuous-time limit as the explicit loop:
+    vs_e, _, _ = closed_loop_rollout(
+        sys, step_cache, ks, ws, jnp.asarray(v0), ALPHA, DT,
+        feedback="explicit",
+    )
+    # Both schemes are first-order; their gap is O(dt) of the transient
+    # (~10% at dt = 0.02 here), not a bug.
+    drift = np.linalg.norm(np.asarray(vs) - np.asarray(vs_e))
+    assert drift / np.linalg.norm(vs_e) < 0.2
