@@ -1,10 +1,20 @@
 """solvers/ — Krylov, saddle-point, shifted-system solvers."""
-from .shifted import ShiftedLUCache
+from .krylov import (
+    SaddleShiftedKrylovCache,
+    ShiftedKrylovCache,
+    cg,
+    gmres,
+)
 from .saddle import SaddleLU, SaddleShiftedLUCache, solve_sadpnt_scipy
+from .shifted import ShiftedLUCache
 
 __all__ = [
-    "ShiftedLUCache",
     "SaddleLU",
+    "SaddleShiftedKrylovCache",
     "SaddleShiftedLUCache",
+    "ShiftedKrylovCache",
+    "ShiftedLUCache",
+    "cg",
+    "gmres",
     "solve_sadpnt_scipy",
 ]

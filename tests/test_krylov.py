@@ -1,0 +1,128 @@
+"""Krylov layer: CG/GMRES correctness + the one-LU-many-shifts caches
+(SURVEY.md SS7 hard part 1: iterative solves behind the LU contract).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optconpy_tpu.fem import heat1d_operators
+from optconpy_tpu.models import cavity_stokes_setup
+from optconpy_tpu.riccati import (
+    cycled_shifts,
+    lowrank_adi,
+    spectral_interval,
+    spectral_interval_dae,
+    wachspress_shifts,
+)
+from optconpy_tpu.solvers import (
+    SaddleShiftedKrylovCache,
+    SaddleShiftedLUCache,
+    ShiftedKrylovCache,
+    ShiftedLUCache,
+    cg,
+    gmres,
+)
+
+
+@pytest.fixture(scope="module")
+def heat():
+    return heat1d_operators(n=64)
+
+
+@pytest.fixture(scope="module")
+def cavity():
+    return cavity_stokes_setup(nx=5)
+
+
+def test_cg_spd_block(heat):
+    np_ops, sys = heat
+    m_d = np_ops["M"].toarray()
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((64, 3))
+    x, res = cg(lambda v: jnp.asarray(m_d) @ v, jnp.asarray(b), n_iter=80)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(m_d, b), rtol=0, atol=1e-10
+    )
+    assert float(res.max()) < 1e-10
+
+
+def test_gmres_nonsymmetric(heat):
+    np_ops, _ = heat
+    rng = np.random.default_rng(1)
+    n = 64
+    a = np.eye(n) + 0.3 * rng.standard_normal((n, n)) / np.sqrt(n)
+    b = rng.standard_normal((n, 2))
+    x, res = gmres(lambda v: jnp.asarray(a) @ v, jnp.asarray(b), n_iter=40)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(a, b), rtol=0, atol=1e-8
+    )
+
+
+def test_shifted_krylov_matches_lu(heat):
+    """One-LU GMRES cache == per-shift LU cache, every shift."""
+    np_ops, sys = heat
+    a_min, a_max = spectral_interval(np_ops["A"], np_ops["M"])
+    sig = jnp.asarray(wachspress_shifts(a_min, a_max, 8))
+    at_d = jnp.asarray(np_ops["A"].T.toarray())
+    lu_cache = ShiftedLUCache.build(at_d, sys.mass.todense(), sig)
+    kr_cache = ShiftedKrylovCache.build(at_d, sys.mass, sig, n_iter=25)
+    rng = np.random.default_rng(2)
+    rhs = jnp.asarray(rng.standard_normal((sys.n, 4)))
+    for i in range(8):
+        x_lu = np.asarray(lu_cache.solve(jnp.int32(i), rhs))
+        x_kr = np.asarray(kr_cache.solve(jnp.int32(i), rhs))
+        rel = np.abs(x_kr - x_lu).max() / np.abs(x_lu).max()
+        assert rel < 1e-8, (i, rel)
+
+
+def test_saddle_shifted_krylov_matches_lu(cavity):
+    np_ops, sys, _ = cavity
+    a_min, a_max = spectral_interval_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"]
+    )
+    sig = jnp.asarray(wachspress_shifts(a_min, a_max, 8))
+    m_d, a_d, j_d = sys.dense()
+    lu_cache = SaddleShiftedLUCache.build(a_d.T, m_d, j_d, sig)
+    kr_cache = SaddleShiftedKrylovCache.build(
+        a_d.T, sys.mass, j_d, sig, n_iter=30
+    )
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.standard_normal((sys.n, 3)))
+    for i in (0, 3, 7):
+        x_lu = np.asarray(lu_cache.solve(jnp.int32(i), rhs))
+        x_kr = np.asarray(kr_cache.solve(jnp.int32(i), rhs))
+        rel = np.abs(x_kr - x_lu).max() / np.abs(x_lu).max()
+        assert rel < 1e-7, (i, rel)
+    # Feasibility preserved: solutions stay in ker J against BC rhs.
+    x_kr = np.asarray(kr_cache.solve(jnp.int32(2), rhs))
+    jx = np_ops["J"] @ x_kr
+    assert np.abs(jx).max() < 1e-8 * max(1.0, np.abs(x_kr).max())
+
+
+def test_adi_with_krylov_cache_matches_lu(cavity):
+    """The projected low-rank ADI gives the same factor through the
+    Krylov cache as through the per-shift LU cache."""
+    np_ops, sys, _ = cavity
+    a_min, a_max = spectral_interval_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"]
+    )
+    n_sh, n_adi = 8, 16
+    sig = jnp.asarray(wachspress_shifts(a_min, a_max, n_sh))
+    sigma_seq = jnp.asarray(cycled_shifts(np.asarray(sig), n_adi))
+    idx_seq = jnp.asarray(
+        cycled_shifts(np.arange(n_sh, dtype=np.int32), n_adi)
+    )
+    m_d, a_d, j_d = sys.dense()
+    lu_cache = SaddleShiftedLUCache.build(a_d.T, m_d, j_d, sig)
+    kr_cache = SaddleShiftedKrylovCache.build(
+        a_d.T, sys.mass, j_d, sig, n_iter=30
+    )
+    smw_u = jnp.zeros((sys.n, sys.m_in))
+    args = dict(
+        smw_u=smw_u, smw_v=sys.b, mass=sys.mass, w=sys.c.T,
+        sigma_seq=sigma_seq, idx_seq=idx_seq,
+    )
+    z_lu = np.asarray(lowrank_adi(lu_cache, **args))
+    z_kr = np.asarray(lowrank_adi(kr_cache, **args))
+    rel = np.abs(z_kr - z_lu).max() / np.abs(z_lu).max()
+    assert rel < 1e-6, rel
