@@ -89,6 +89,42 @@ class ConvKernel:
         v_full = self.expand(v_inner)
         return self.conv_full(v_full)[self.free]
 
+    def linearized_dense(
+        self, v_full: jax.Array, include_l2: bool = True
+    ) -> jax.Array:
+        """Dense linearized convection L1(v) (+ L2(v)) on FULL dofs.
+
+        Device-side mirror of fem.taylor_hood.convection_matrices for
+        online re-linearization inside the MPC loop (no host crossing):
+        L1 u = (v.grad)u (component-diagonal), L2 u = (u.grad)v
+        (component-coupling). Returns (2ns, 2ns); restrict to free dofs
+        with mat[free][:, free] at the call site.
+        """
+        ns = self.ns
+        nt = self.tri_dofs.shape[0]
+        v2 = v_full.reshape(2, ns)
+        v_loc = v2[:, self.tri_dofs].transpose(1, 2, 0)  # (nt, 6, 2)
+        rows = jnp.broadcast_to(
+            self.tri_dofs[:, :, None], (nt, 6, 6)
+        )
+        cols = jnp.broadcast_to(
+            self.tri_dofs[:, None, :], (nt, 6, 6)
+        )
+        out = jnp.zeros((2 * ns, 2 * ns), v_full.dtype)
+        # L1[(i,a),(k,a)] = sum_{j,b} T0[e,i,j,k,b] v_loc[e,j,b]
+        l1_loc = jnp.einsum("eijkb,ejb->eik", self.t0, v_loc)
+        out = out.at[rows, cols].add(l1_loc)
+        out = out.at[rows + ns, cols + ns].add(l1_loc)
+        if include_l2:
+            # L2[(i,a),(j,b)] = sum_k T0[e,i,j,k,b] v_loc[e,k,a]
+            l2_loc = jnp.einsum("eijkb,eka->eijab", self.t0, v_loc)
+            for a_c in range(2):
+                for b_c in range(2):
+                    out = out.at[rows + a_c * ns, cols + b_c * ns].add(
+                        l2_loc[..., a_c, b_c]
+                    )
+        return out
+
     def astype(self, dtype) -> "ConvKernel":
         return ConvKernel(
             self.t0.astype(dtype),

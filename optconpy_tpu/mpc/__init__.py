@@ -6,6 +6,7 @@ from .nse_rollout import (
     build_nse_stepper,
     nse_closed_loop_rollout,
 )
+from .receding import RHConfig, receding_horizon_mpc
 from .rollout import (
     batched_closed_loop,
     build_step_cache,
@@ -14,6 +15,8 @@ from .rollout import (
 )
 
 __all__ = [
+    "RHConfig",
+    "receding_horizon_mpc",
     "NSEStepCache",
     "batched_nse_closed_loop",
     "build_nse_step_cache",

@@ -71,17 +71,15 @@ def _setup_problem(cfg: OptConConfig):
         return cylinder_setup(re=p.re, refinement=p.refinement)
     if p.name == "drivencavity":
         from .models.cavity import cavity_stokes_setup
-        from .solvers.saddle import solve_sadpnt_scipy
+        from .solvers.steady import solve_steady_nse_host
 
         np_ops, sys, cond = cavity_stokes_setup(nx=p.nx)
-        # Linearization point = steady Stokes cavity flow (the lid-driven
-        # vortex); at the cavity's low Re the Stokes operator is the
-        # correct linearization and the nonlinear forward sweep is a
-        # consistency refinement over the reference's linear rollout.
-        v_i, _ = solve_sadpnt_scipy(
-            np_ops["A"], np_ops["J"], np_ops["fv"], np_ops["fp"]
+        # Linearization point = steady NSE cavity flow (the nonlinear
+        # forward sweep is a fixed point there; gains use the Stokes
+        # operator, correct at the cavity's low Re).
+        np_ops["vbar_full"], _ = solve_steady_nse_host(
+            np_ops["full"], cond
         )
-        np_ops["vbar_full"] = cond.expand(v_i)
         return np_ops, sys, cond
     raise ValueError(f"unknown problem: {p.name}")
 

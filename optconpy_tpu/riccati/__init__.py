@@ -13,6 +13,7 @@ from .dre import (
     dre_shift_schedule_dae,
     build_dre_cache,
     build_dre_cache_dae,
+    build_dre_cache_dae_krylov,
     dre_backward_sweep,
 )
 
@@ -21,6 +22,7 @@ __all__ = [
     "spectral_interval_dae",
     "dre_shift_schedule_dae",
     "build_dre_cache_dae",
+    "build_dre_cache_dae_krylov",
     "wachspress_shifts",
     "cycled_shifts",
     "dre_shifted_interval",

@@ -59,11 +59,23 @@ def build_dre_cache(
 
 
 def dre_shift_schedule_dae(
-    a_np, m_np, j_np, dt: float, num_shifts: int = 12, n_adi: int = 24
+    a_np, m_np, j_np, dt: float, num_shifts: int = 12, n_adi: int = 24,
+    interval: tuple | None = None,
 ):
     """Shift setup for constrained systems: projected spectral interval
-    of (A, M)|ker J, time-shifted analytically (riccati/shifts.py)."""
-    a_min, a_max = shiftmod.spectral_interval_dae(a_np, m_np, j_np)
+    of (A, M)|ker J, time-shifted analytically (riccati/shifts.py).
+
+    interval: optional precomputed (a_min, a_max) override — REQUIRED at
+    large n where the dense projected eig is infeasible. Recipe: a_min
+    from the projected interval of a coarse discretization (the bottom
+    of the spectrum is mesh-converged) + a_max from sparse ARPACK on
+    the unprojected fine pencil (shifts.spectral_interval); Wachspress
+    quality is log-insensitive to modest over-coverage.
+    """
+    if interval is not None:
+        a_min, a_max = interval
+    else:
+        a_min, a_max = shiftmod.spectral_interval_dae(a_np, m_np, j_np)
     a_min_s, a_max_s = shiftmod.dre_shifted_interval(a_min, a_max, dt)
     sig = shiftmod.wachspress_shifts(a_min_s, a_max_s, num_shifts)
     idx = np.arange(num_shifts, dtype=np.int32)
@@ -86,6 +98,26 @@ def build_dre_cache_dae(sys, dt: float, sig: np.ndarray, dtype=None):
     )
 
 
+def build_dre_cache_dae_krylov(
+    sys, dt: float, sig: np.ndarray, dtype=None,
+    n_iter: int = 30, n_ref: int = 2,
+):
+    """Memory-lean DRE cache: n_ref reference saddle LUs + GMRES
+    (solvers/krylov.py) instead of one LU per shift — the config-3+
+    path where len(sig) full factorizations exceed HBM."""
+    from ..solvers.krylov import SaddleShiftedKrylovCache
+
+    m_d, a_d, j_d = sys.dense()
+    at_til = a_d.T - m_d / (2.0 * dt)
+    if dtype is not None:
+        at_til = at_til.astype(dtype)
+        j_d = j_d.astype(dtype)
+    mass = sys.mass if dtype is None else sys.mass.astype(dtype)
+    return SaddleShiftedKrylovCache.build(
+        at_til, mass, j_d, np.asarray(sig), n_iter=n_iter, n_ref=n_ref
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("nts", "n_newton", "r_max"),
@@ -101,6 +133,7 @@ def dre_backward_sweep(
     n_newton: int = 2,
     r_max: int = 40,
     compress_rtol: float = 1e-9,
+    k_init: jax.Array | None = None,
 ):
     """Backward DRE sweep; returns (zs, ks) with
 
@@ -109,14 +142,19 @@ def dre_backward_sweep(
     ks: (nts + 1, m, n) feedback gains K_k = (1/alpha) B^T X_k M.
 
     Warm start: each step's Newton begins from the previous (later-time)
-    step's gain, so n_newton = 1-2 suffices (SURVEY.md SS3.1).
+    step's gain, so n_newton = 1-2 suffices (SURVEY.md SS3.1). k_init
+    seeds the TERMINAL step's Newton (receding-horizon MPC passes the
+    previous macro-step's gain; terminal factor stays 0).
     """
     n, m = sys.b.shape
     dtype = sys.b.dtype
     inv_sqrt_dt = 1.0 / jnp.sqrt(jnp.asarray(dt, dtype))
 
     z_terminal = jnp.zeros((n, r_max), dtype)
-    k_terminal = jnp.zeros((m, n), dtype)
+    k_terminal = (
+        jnp.zeros((m, n), dtype) if k_init is None
+        else jnp.asarray(k_init, dtype)
+    )
 
     def step(carry, _):
         z_next, k_next = carry

@@ -217,10 +217,17 @@ class ShiftedKrylovCache:
         dtype = at_dense.dtype
         m_dense = mass.todense()
 
-        def one(sigma):
-            return jax.scipy.linalg.lu_factor(at_dense + sigma * m_dense)
-
-        lu, piv = jax.vmap(one)(jnp.asarray(refs_np, dtype))
+        # Factor sequentially (not vmapped): at large n, tracing the
+        # batched assemble+LU graph has blown up AOT compile memory.
+        factor = jax.jit(jax.scipy.linalg.lu_factor)
+        lus, pivs = [], []
+        for sigma in refs_np:
+            lu_r, piv_r = factor(
+                at_dense + jnp.asarray(sigma, dtype) * m_dense
+            )
+            lus.append(jax.block_until_ready(lu_r))
+            pivs.append(piv_r)
+        lu, piv = jnp.stack(lus), jnp.stack(pivs)
         return ShiftedKrylovCache(
             lu=lu,
             piv=piv,
@@ -314,16 +321,25 @@ class SaddleShiftedKrylovCache:
         n = at_dense.shape[0]
         n_p = j_dense.shape[0]
         dtype = at_dense.dtype
-        m_dense = mass.todense()
 
-        def one(sigma):
-            big = jnp.zeros((n + n_p, n + n_p), dtype)
-            big = big.at[:n, :n].set(at_dense + sigma * m_dense)
-            big = big.at[:n, n:].set(j_dense.T)
-            big = big.at[n:, :n].set(j_dense)
-            return jax.scipy.linalg.lu_factor(big)
-
-        lu, piv = jax.vmap(one)(jnp.asarray(refs_np, dtype))
+        # Host-side assembly + sequential device factorization: the
+        # traced batched assemble+LU graph SIGKILLed the AOT compiler
+        # at n+np ~ 17k (memory); a concrete operand per factor is
+        # cheap to compile and bounds peak HBM to one extra matrix.
+        at_np = np.asarray(at_dense, dtype=np.float64)
+        m_np = np.asarray(mass.todense(), dtype=np.float64)
+        j_np = np.asarray(j_dense, dtype=np.float64)
+        factor = jax.jit(jax.scipy.linalg.lu_factor)
+        lus, pivs = [], []
+        for sigma in refs_np:
+            big = np.zeros((n + n_p, n + n_p), dtype=np.float64)
+            big[:n, :n] = at_np + sigma * m_np
+            big[:n, n:] = j_np.T
+            big[n:, :n] = j_np
+            lu_r, piv_r = factor(jnp.asarray(big, dtype))
+            lus.append(jax.block_until_ready(lu_r))
+            pivs.append(piv_r)
+        lu, piv = jnp.stack(lus), jnp.stack(pivs)
         return SaddleShiftedKrylovCache(
             lu=lu,
             piv=piv,

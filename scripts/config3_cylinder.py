@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Config 3 (BASELINE.md): linearized cylinder-wake Re=60, ~15k dofs,
+low-rank ADI/DRE Riccati feedback, one TPU chip.
+
+Validation at this size is residual/behavioral (no dense golden is
+feasible at 15k): constraint feasibility of the Riccati factors, finite
+gains, and the controlled rollout suppressing the wake perturbation
+energy relative to the uncontrolled one. Run:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/config3_cylinder.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+RE = 60.0
+REFINEMENT = 2
+DT = 0.01
+NTS_GAIN = 16  # DRE steps (gain converges to quasi-steady in O(10))
+NTS_ROLL = 100
+ALPHA = 1e-4
+R_MAX = 40
+N_SHIFTS = 12
+N_ADI = 16
+GMRES_ITERS = 24
+S_BATCH = 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from optconpy_tpu import utils
+    from optconpy_tpu.fem.device_conv import ConvKernel
+    from optconpy_tpu.models.cylinder import cylinder_setup
+    from optconpy_tpu.mpc import batched_nse_closed_loop, build_nse_stepper
+    from optconpy_tpu.riccati import (
+        build_dre_cache_dae_krylov,
+        dre_backward_sweep,
+        dre_shift_schedule_dae,
+        spectral_interval,
+        spectral_interval_dae,
+    )
+    from optconpy_tpu.utils.cache import load_or_comp
+
+    utils.setup()
+    dtype = jnp.float32
+    log(f"device: {jax.devices()[0].device_kind}")
+
+    t0 = time.time()
+    np_ops, sys64, cond = cylinder_setup(re=RE, refinement=REFINEMENT)
+    sysd = sys64.astype(dtype)
+    n, m = sysd.b.shape
+    log(f"setup {time.time() - t0:.1f}s: n={n} np={sysd.n_p}")
+
+    # Shift interval: mesh-converged bottom from the coarse projected
+    # pencil + top from sparse ARPACK on the fine unprojected pencil.
+    def interval_art():
+        np1, _, _ = cylinder_setup(re=RE, refinement=1)
+        lo_c, _ = spectral_interval_dae(np1["A"], np1["M"], np1["J"])
+        _, hi_f = spectral_interval(np_ops["A"], np_ops["M"])
+        return {"lo": np.asarray(lo_c), "hi": np.asarray(hi_f)}
+
+    t0 = time.time()
+    iv = load_or_comp(f"cyl_re{int(RE)}_ref{REFINEMENT}", "interval",
+                      interval_art, cache_dir="data")
+    a_min, a_max = float(iv["lo"]), float(iv["hi"])
+    log(f"interval [{a_min:.2f}, {a_max:.1f}] ({time.time() - t0:.1f}s)")
+
+    sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+        None, None, None, DT, num_shifts=N_SHIFTS, n_adi=N_ADI,
+        interval=(a_min, a_max),
+    )
+
+    t0 = time.time()
+    cache = build_dre_cache_dae_krylov(
+        sysd, DT, sig, dtype=dtype, n_iter=GMRES_ITERS, n_ref=2
+    )
+    jax.block_until_ready(cache.lu)
+    log(f"krylov cache (2 ref LUs of {n + sysd.n_p}) {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    zs, ks = dre_backward_sweep(
+        sysd, cache, ALPHA, DT, NTS_GAIN,
+        jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+        n_newton=1, r_max=R_MAX,
+    )
+    ks = jax.block_until_ready(ks)
+    t_dre = time.time() - t0
+    adi_per_s = NTS_GAIN * N_ADI / t_dre
+    log(f"DRE sweep {t_dre:.1f}s ({adi_per_s:.2f} ADI iters/s incl compile)")
+
+    # Factor feasibility: Riccati iterates must lie in ker J.
+    z0 = zs[0]
+    jz = np.asarray(sysd.jmat.matmat(z0))
+    feas = float(np.abs(jz).max() / max(np.abs(np.asarray(z0)).max(), 1e-30))
+    k0 = ks[0]
+    log(f"|J Z|/|Z| = {feas:.2e}, |K| = {float(jnp.abs(k0).max()):.3e}")
+
+    # Closed loop vs uncontrolled: perturbation energy at T.
+    conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
+    stepper = build_nse_stepper(np_ops, cond, DT, dtype=dtype)
+    ks_roll = jnp.broadcast_to(k0, (NTS_ROLL + 1, m, n))
+    ws = jnp.zeros((NTS_ROLL + 1, n), dtype)
+    rng = np.random.default_rng(0)
+    v0 = jnp.asarray(
+        np.asarray(stepper.vbar)[None] + 1e-3 * rng.standard_normal((S_BATCH, n)),
+        dtype,
+    )
+
+    def energy(vs):
+        d = vs - stepper.vbar[None, None, :]
+        return np.asarray(jnp.sum(d * jax.vmap(jax.vmap(sysd.mass.matvec))(d), axis=2))
+
+    t0 = time.time()
+    vs_c, us_c, _ = batched_nse_closed_loop(
+        sysd, conv, stepper, ks_roll, ws, v0, ALPHA, DT, feedback="implicit"
+    )
+    vs_c = jax.block_until_ready(vs_c)
+    t_roll = time.time() - t0
+    vs_u, _, _ = batched_nse_closed_loop(
+        sysd, conv, stepper, jnp.zeros_like(ks_roll), ws, v0, ALPHA, DT,
+        feedback="implicit",
+    )
+    vs_u = jax.block_until_ready(vs_u)
+    e_c, e_u = energy(vs_c), energy(vs_u)
+    ratio = float(e_c[:, -1].mean() / e_u[:, -1].mean())
+    log(
+        f"rollout {t_roll:.1f}s: perturbation energy T-ratio "
+        f"controlled/uncontrolled = {ratio:.3e} "
+        f"(u: {float(e_u[:, -1].mean()):.3e}, c: {float(e_c[:, -1].mean()):.3e})"
+    )
+
+    out = {
+        "config": 3,
+        "problem": f"cylinder_re{int(RE)}_ref{REFINEMENT}",
+        "n_state": int(n),
+        "feasibility_JZ": feas,
+        "energy_ratio_T": ratio,
+        "adi_iters_per_s_incl_compile": round(adi_per_s, 3),
+        "dre_sweep_s": round(t_dre, 1),
+        "rollout_s": round(t_roll, 2),
+        "finite": bool(np.isfinite(np.asarray(vs_c)).all()),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
