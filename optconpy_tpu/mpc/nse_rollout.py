@@ -54,7 +54,7 @@ class NSEStepCache:
     fv, fp: BC condensation rhs; vbar: linearization point.
     """
 
-    lu: SaddleLU
+    lu: SaddleLU  # or SaddleInverse — any saddle solver with .apply
     l1_imp: jax.Array
     fv: jax.Array
     fp: jax.Array
@@ -67,15 +67,20 @@ def build_nse_stepper(
     dt: float,
     dtype=jnp.float32,
     scheme: str = "oseen",
+    solver: str = "lu",
 ) -> NSEStepCache:
     """Host-side builder: assembles the IMEX step cache from the
     cylinder/cavity setup dict (models/*.py) and the BC condenser.
 
     scheme: 'oseen' (L1(vbar) implicit, default) or 'explicit'.
+    solver: 'lu' (device triangular solves) or 'inverse' (host-built
+    explicit inverse applied as one GEMM — faster per step on the MXU,
+    same apply contract; see solvers/saddle.py SaddleInverse).
     """
     import numpy as np
 
     from ..fem.taylor_hood import convection_matrices
+    from ..solvers.saddle import SaddleInverse
 
     full = np_ops["full"]
     m_i = np_ops["M"]
@@ -92,7 +97,8 @@ def build_nse_stepper(
         raise ValueError(f"unknown IMEX scheme: {scheme}")
 
     imp = m_i.toarray() / dt - a_stokes_i.toarray() + l1_i
-    lu = SaddleLU.build(
+    solver_cls = {"lu": SaddleLU, "inverse": SaddleInverse}[solver]
+    lu = solver_cls.build(
         jnp.asarray(imp, dtype), jnp.asarray(j_i.toarray(), dtype)
     )
     return NSEStepCache(
@@ -195,3 +201,56 @@ def batched_nse_closed_loop(
             sys, conv, cache, ks, ws, v0, alpha, dt, feedback
         )
     )(v0_batch)
+
+
+@partial(jax.jit, static_argnames=("nts", "feedback"))
+def nse_closed_loop_outputs(
+    sys,
+    conv: ConvKernel,
+    cache: NSEStepCache,
+    k_gain: jax.Array,
+    v0: jax.Array,
+    alpha: float,
+    dt: float,
+    nts: int,
+    feedback: str = "implicit",
+):
+    """Memory-lean rollout: constant gain, returns (ys (nts+1, p),
+    u_norms (nts,), v_final) WITHOUT storing the state trajectory —
+    the sweep-scale kernel (8192 scenarios x long horizons would not
+    fit (S, nts, n) in HBM).
+    """
+    bt = sys.b.T
+    vbar = cache.vbar
+
+    if feedback == "implicit":
+        n_p = cache.fp.shape[0]
+        gmat = cache.lu.apply(
+            sys.b, jnp.zeros((n_p, sys.m_in), sys.b.dtype)
+        )
+        eye_m = jnp.eye(sys.m_in, dtype=sys.b.dtype)
+
+        def step(v, _):
+            uff = k_gain @ vbar
+            expl = conv.conv_inner(v) - cache.l1_imp @ v
+            rhs_v = (
+                sys.mass.matvec(v) / dt - expl + sys.b @ uff - cache.fv
+            )
+            x0 = cache.lu.apply(rhs_v, cache.fp)
+            corr = jnp.linalg.solve(eye_m + k_gain @ gmat, k_gain @ x0)
+            v_next = x0 - gmat @ corr
+            u = -(k_gain @ (v_next - vbar))
+            return v_next, (sys.c @ v_next, jnp.sum(u * u))
+
+    else:
+
+        def step(v, _):
+            u = -(k_gain @ (v - vbar))
+            expl = conv.conv_inner(v) - cache.l1_imp @ v
+            rhs_v = sys.mass.matvec(v) / dt - expl + sys.b @ u - cache.fv
+            v_next = cache.lu.apply(rhs_v, cache.fp)
+            return v_next, (sys.c @ v_next, jnp.sum(u * u))
+
+    v_final, (ys_tail, u_sq) = jax.lax.scan(step, v0, None, length=nts)
+    ys = jnp.concatenate([(sys.c @ v0)[None], ys_tail], axis=0)
+    return ys, u_sq, v_final

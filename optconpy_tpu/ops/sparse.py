@@ -94,11 +94,11 @@ def ell_from_scipy(a, pad_to: int | None = None, dtype=None) -> ELL:
     k = max(k, 1)
     data = np.zeros((m, k), dtype=dtype or a.dtype)
     cols = np.zeros((m, k), dtype=np.int32)
-    for i in range(m):
-        lo, hi = a.indptr[i], a.indptr[i + 1]
-        cnt = hi - lo
-        data[i, :cnt] = a.data[lo:hi]
-        cols[i, :cnt] = a.indices[lo:hi]
+    # Vectorized scatter: nnz j of row i lands at (i, j - indptr[i]).
+    rows_flat = np.repeat(np.arange(m), row_nnz)
+    slot_flat = np.arange(a.nnz) - np.repeat(a.indptr[:-1], row_nnz)
+    data[rows_flat, slot_flat] = a.data
+    cols[rows_flat, slot_flat] = a.indices
     return ELL(jnp.asarray(data), jnp.asarray(cols), (m, n))
 
 

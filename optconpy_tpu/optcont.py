@@ -165,7 +165,8 @@ def optcon_nse(
     # --- Forward nonlinear closed-loop sweep. ---
     conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
     stepper = build_nse_stepper(
-        np_ops, cond, dt, dtype=dtype, scheme=cfg.solver.imex_scheme
+        np_ops, cond, dt, dtype=dtype, scheme=cfg.solver.imex_scheme,
+        solver=cfg.solver.step_solver,
     )
     if v0_batch is None:
         v0_batch = np.asarray(vbar_i)[None, :]

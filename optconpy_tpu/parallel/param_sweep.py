@@ -1,0 +1,161 @@
+"""Parameter-sweep MPC — config 5 (BASELINE.md): thousands of scenario
+rollouts across a family of linearizations (e.g. Re in [60, 150]),
+sharded over the device mesh.
+
+Structure: R parameter buckets (one linearization + gain each) x S
+scenarios per bucket. Bucket operands are stacked pytrees vmapped on
+the leading axis; the scenario axis inside each bucket is sharded over
+the mesh with shard_map, and aggregate statistics ride psum over
+ICI/DCN (SURVEY.md SS5.8). The rollout kernel is the memory-lean
+nse_closed_loop_outputs (no state trajectories in HBM).
+
+Geometry is shared across buckets (same mesh, different viscosity /
+steady state), so ONE ConvKernel serves the whole sweep and only the
+stepper caches + gains are per-bucket.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..mpc.nse_rollout import (
+    NSEStepCache,
+    build_nse_stepper,
+    nse_closed_loop_outputs,
+)
+
+
+def build_sweep_gains_and_caches(
+    setups: list,
+    dt: float,
+    alpha: float,
+    dtype=jnp.float32,
+    num_shifts: int = 8,
+    n_adi: int = 16,
+    nts_gain: int = 8,
+    r_max: int = 24,
+    solver: str = "inverse",
+    interval=None,
+):
+    """Per-bucket gains + stepper caches, host loop (setup time).
+
+    setups: list of (np_ops, sys, cond) from models/* at each parameter
+    value. Returns (stacked NSEStepCache, ks (R, m, n)).
+    """
+    from ..riccati import (
+        build_dre_cache_dae,
+        dre_backward_sweep,
+        dre_shift_schedule_dae,
+    )
+
+    caches, gains = [], []
+    for np_ops, sys64, cond in setups:
+        sys = sys64.astype(dtype)
+        sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+            np_ops["A"], np_ops["M"], np_ops["J"], dt,
+            num_shifts=num_shifts, n_adi=n_adi, interval=interval,
+        )
+        dre_cache = build_dre_cache_dae(sys, dt, sig, dtype=dtype)
+        _, ks = dre_backward_sweep(
+            sys, dre_cache, alpha, dt, nts_gain,
+            jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+            n_newton=1, r_max=r_max,
+        )
+        gains.append(ks[0])
+        del dre_cache  # free the per-shift factors before the next bucket
+        caches.append(
+            build_nse_stepper(np_ops, cond, dt, dtype=dtype, solver=solver)
+        )
+    cache_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+    return cache_stack, jnp.stack(gains)
+
+
+def sweep_rollout(
+    sys,
+    conv,
+    cache_stack: NSEStepCache,
+    ks: jax.Array,
+    v0: jax.Array,
+    alpha: float,
+    dt: float,
+    nts: int,
+):
+    """Unsharded sweep rollout: v0 (R, S, n) -> (ys (R, S, nts+1, p),
+    u_sq (R, S, nts), v_final (R, S, n)). sys supplies the shared
+    mass/b/c; per-bucket operands come from the stacked cache."""
+
+    def per_bucket(cache_r, k_r, v0_r):
+        return jax.vmap(
+            lambda w: nse_closed_loop_outputs(
+                sys, conv, cache_r, k_r, w, alpha, dt, nts
+            )
+        )(v0_r)
+
+    return jax.vmap(per_bucket)(cache_stack, ks, v0)
+
+
+def sharded_sweep_rollout(
+    mesh: Mesh,
+    sys,
+    conv,
+    cache_stack: NSEStepCache,
+    ks: jax.Array,
+    v0: jax.Array,
+    alpha: float,
+    dt: float,
+    nts: int,
+    axis: str = "scenario",
+):
+    """Config-5 entry: scenario axis sharded over the mesh, bucket
+    operands replicated, block-reduced sweep statistics via psum.
+
+    v0: (R, S, n) with S % mesh.shape[axis] == 0. Returns
+    (ys (R, S, nts+1, p), stats) with stats globally reduced:
+    mean_cost (per bucket), max_abs_y (per bucket), total scenarios.
+    """
+
+    def local_block(cache_l, ks_l, v0_l):
+        ys, u_sq, v_fin = sweep_rollout(
+            sys, conv, cache_l, ks_l, v0_l, alpha, dt, nts
+        )
+        local_cost = (
+            jnp.sum(ys**2, axis=(1, 2, 3)) * dt
+            + alpha * jnp.sum(u_sq, axis=(1, 2)) * dt
+        )  # (R,)
+        total_cost = jax.lax.psum(local_cost, axis)
+        n_total = jax.lax.psum(v0_l.shape[1], axis)
+        max_y = jax.lax.pmax(
+            jnp.max(jnp.abs(ys), axis=(1, 2, 3)), axis
+        )
+        return ys, {
+            "mean_cost": total_cost / n_total,
+            "max_abs_y": max_y,
+            "scenarios": n_total,
+        }
+
+    fn = jax.shard_map(
+        local_block,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), cache_stack),
+            P(),
+            P(None, axis, None),
+        ),
+        out_specs=(
+            P(None, axis),
+            {"mean_cost": P(), "max_abs_y": P(), "scenarios": P()},
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)(cache_stack, ks, v0)
+
+
+def assign_re_buckets(re_values: np.ndarray, re_buckets: np.ndarray):
+    """Nearest-bucket assignment for a continuous parameter sweep:
+    scenario i with parameter re_values[i] uses the gain/linearization
+    of the closest bucket (the config-5 grouping step)."""
+    return np.argmin(
+        np.abs(re_values[:, None] - re_buckets[None, :]), axis=1
+    ).astype(np.int32)

@@ -5,10 +5,16 @@ from .krylov import (
     cg,
     gmres,
 )
-from .saddle import SaddleLU, SaddleShiftedLUCache, solve_sadpnt_scipy
+from .saddle import (
+    SaddleInverse,
+    SaddleLU,
+    SaddleShiftedLUCache,
+    solve_sadpnt_scipy,
+)
 from .shifted import ShiftedLUCache
 
 __all__ = [
+    "SaddleInverse",
     "SaddleLU",
     "SaddleShiftedKrylovCache",
     "SaddleShiftedLUCache",

@@ -217,15 +217,14 @@ class ShiftedKrylovCache:
         dtype = at_dense.dtype
         m_dense = mass.todense()
 
-        # Factor sequentially (not vmapped): at large n, tracing the
-        # batched assemble+LU graph has blown up AOT compile memory.
-        factor = jax.jit(jax.scipy.linalg.lu_factor)
+        from ..ops.dense import host_lu_factor
+
+        at_np = np.asarray(at_dense, dtype=np.float64)
+        m_np = np.asarray(m_dense, dtype=np.float64)
         lus, pivs = [], []
         for sigma in refs_np:
-            lu_r, piv_r = factor(
-                at_dense + jnp.asarray(sigma, dtype) * m_dense
-            )
-            lus.append(jax.block_until_ready(lu_r))
+            lu_r, piv_r = host_lu_factor(at_np + sigma * m_np, dtype)
+            lus.append(lu_r)
             pivs.append(piv_r)
         lu, piv = jnp.stack(lus), jnp.stack(pivs)
         return ShiftedKrylovCache(
@@ -322,22 +321,22 @@ class SaddleShiftedKrylovCache:
         n_p = j_dense.shape[0]
         dtype = at_dense.dtype
 
-        # Host-side assembly + sequential device factorization: the
-        # traced batched assemble+LU graph SIGKILLed the AOT compiler
-        # at n+np ~ 17k (memory); a concrete operand per factor is
-        # cheap to compile and bounds peak HBM to one extra matrix.
+        # Host assembly + host LAPACK factorization (ops/dense.py: XLA
+        # TPU LU is ~20x slower and its traced batched assembly
+        # SIGKILLed AOT compile at n+np ~ 17k).
+        from ..ops.dense import host_lu_factor
+
         at_np = np.asarray(at_dense, dtype=np.float64)
         m_np = np.asarray(mass.todense(), dtype=np.float64)
         j_np = np.asarray(j_dense, dtype=np.float64)
-        factor = jax.jit(jax.scipy.linalg.lu_factor)
         lus, pivs = [], []
         for sigma in refs_np:
             big = np.zeros((n + n_p, n + n_p), dtype=np.float64)
             big[:n, :n] = at_np + sigma * m_np
             big[:n, n:] = j_np.T
             big[n:, :n] = j_np
-            lu_r, piv_r = factor(jnp.asarray(big, dtype))
-            lus.append(jax.block_until_ready(lu_r))
+            lu_r, piv_r = host_lu_factor(big, dtype)
+            lus.append(lu_r)
             pivs.append(piv_r)
         lu, piv = jnp.stack(lus), jnp.stack(pivs)
         return SaddleShiftedKrylovCache(

@@ -58,14 +58,22 @@ class SaddleLU:
 
     @staticmethod
     def build(f_dense: jax.Array, j_dense: jax.Array) -> "SaddleLU":
+        """Host-LAPACK factorization of the assembled saddle matrix
+        (setup-time; XLA's TPU LU is ~20x slower — ops/dense.py)."""
+        import numpy as np
+
+        from ..ops.dense import host_lu_factor
+
         n = f_dense.shape[0]
         n_p = j_dense.shape[0]
-        dtype = f_dense.dtype
-        big = jnp.zeros((n + n_p, n + n_p), dtype)
-        big = big.at[:n, :n].set(f_dense)
-        big = big.at[:n, n:].set(j_dense.T)
-        big = big.at[n:, :n].set(j_dense)
-        lu, piv = jax.scipy.linalg.lu_factor(big)
+        dtype = jnp.asarray(f_dense).dtype
+        f_np = np.asarray(f_dense, dtype=np.float64)
+        j_np = np.asarray(j_dense, dtype=np.float64)
+        big = np.zeros((n + n_p, n + n_p))
+        big[:n, :n] = f_np
+        big[:n, n:] = j_np.T
+        big[n:, :n] = j_np
+        lu, piv = host_lu_factor(big, out_dtype=dtype)
         return SaddleLU(lu, piv, n)
 
     def apply(self, rhs_v: jax.Array, rhs_p: jax.Array | None = None):
@@ -121,19 +129,27 @@ class SaddleShiftedLUCache:
         j_dense: jax.Array,
         shifts: jax.Array,
     ) -> "SaddleShiftedLUCache":
+        """Per-shift host-LAPACK factorizations (setup-time)."""
+        import numpy as np
+
+        from ..ops.dense import host_lu_factor
+
         n = at_dense.shape[0]
         n_p = j_dense.shape[0]
-        dtype = at_dense.dtype
-
-        def one(sigma):
-            big = jnp.zeros((n + n_p, n + n_p), dtype)
-            big = big.at[:n, :n].set(at_dense + sigma * m_dense)
-            big = big.at[:n, n:].set(j_dense.T)
-            big = big.at[n:, :n].set(j_dense)
-            return jax.scipy.linalg.lu_factor(big)
-
-        lu, piv = jax.vmap(one)(shifts)
-        return SaddleShiftedLUCache(lu, piv, n)
+        dtype = jnp.asarray(at_dense).dtype
+        at_np = np.asarray(at_dense, dtype=np.float64)
+        m_np = np.asarray(m_dense, dtype=np.float64)
+        j_np = np.asarray(j_dense, dtype=np.float64)
+        lus, pivs = [], []
+        for sigma in np.asarray(shifts, dtype=np.float64):
+            big = np.zeros((n + n_p, n + n_p))
+            big[:n, :n] = at_np + sigma * m_np
+            big[:n, n:] = j_np.T
+            big[n:, :n] = j_np
+            lu, piv = host_lu_factor(big, out_dtype=dtype)
+            lus.append(lu)
+            pivs.append(piv)
+        return SaddleShiftedLUCache(jnp.stack(lus), jnp.stack(pivs), n)
 
     def _solve_padded(self, i: jax.Array, rhs_v: jax.Array) -> jax.Array:
         lu_i = jax.lax.dynamic_index_in_dim(self.lu, i, keepdims=False)
@@ -164,3 +180,59 @@ class SaddleShiftedLUCache:
         return smw_solve(
             lambda r: self._solve_padded(i, r), u, v, rhs
         )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("inv",),
+    meta_fields=("n",),
+)
+@dataclass(frozen=True)
+class SaddleInverse:
+    """Explicit saddle inverse applied as ONE GEMM per solve.
+
+    The MXU runs GEMM far faster than blocked triangular solves, so for
+    matrices applied thousands of times (the IMEX rollout step, ADI
+    sweeps) the explicit inverse wins despite the O(n^2) extra setup;
+    it is computed on the host in f64 and cast, so accuracy matches an
+    LU solve at device precision. Same apply contract as SaddleLU.
+    """
+
+    inv: jax.Array  # (n+np, n+np)
+    n: int
+
+    @staticmethod
+    def build(f_dense: jax.Array, j_dense: jax.Array) -> "SaddleInverse":
+        import numpy as np
+
+        from ..ops.dense import host_inverse
+
+        n = f_dense.shape[0]
+        n_p = j_dense.shape[0]
+        dtype = jnp.asarray(f_dense).dtype
+        big = np.zeros((n + n_p, n + n_p))
+        big[:n, :n] = np.asarray(f_dense, dtype=np.float64)
+        big[:n, n:] = np.asarray(j_dense, dtype=np.float64).T
+        big[n:, :n] = np.asarray(j_dense, dtype=np.float64)
+        return SaddleInverse(host_inverse(big, out_dtype=dtype), n)
+
+    def _solve(self, rhs_v: jax.Array, rhs_p: jax.Array | None):
+        squeeze = rhs_v.ndim == 1
+        rv = rhs_v[:, None] if squeeze else rhs_v
+        n_p = self.inv.shape[0] - self.n
+        if rhs_p is None:
+            rp = jnp.zeros((n_p, rv.shape[1]), rv.dtype)
+        else:
+            rp = rhs_p[:, None] if squeeze else rhs_p
+        sol = self.inv @ jnp.concatenate([rv, rp], axis=0)
+        return sol, squeeze
+
+    def apply(self, rhs_v: jax.Array, rhs_p: jax.Array | None = None):
+        sol, squeeze = self._solve(rhs_v, rhs_p)
+        v = sol[: self.n]
+        return v[:, 0] if squeeze else v
+
+    def apply_full(self, rhs_v: jax.Array, rhs_p: jax.Array):
+        sol, squeeze = self._solve(rhs_v, rhs_p)
+        v, p = sol[: self.n], sol[self.n :]
+        return (v[:, 0], p[:, 0]) if squeeze else (v, p)

@@ -38,13 +38,21 @@ class ShiftedLUCache:
 
     @staticmethod
     def build(at_dense: jax.Array, m_dense: jax.Array, shifts: jax.Array):
-        """Factor A^T + sigma_i M for every shift (vmapped dense LU)."""
+        """Factor A^T + sigma_i M for every shift — host LAPACK
+        (setup-time; XLA's TPU LU is ~20x slower, ops/dense.py)."""
+        import numpy as np
 
-        def one(sigma):
-            return jax.scipy.linalg.lu_factor(at_dense + sigma * m_dense)
+        from ..ops.dense import host_lu_factor
 
-        lu, piv = jax.vmap(one)(shifts)
-        return ShiftedLUCache(lu, piv)
+        dtype = jnp.asarray(at_dense).dtype
+        at_np = np.asarray(at_dense, dtype=np.float64)
+        m_np = np.asarray(m_dense, dtype=np.float64)
+        lus, pivs = [], []
+        for sigma in np.asarray(shifts, dtype=np.float64):
+            lu, piv = host_lu_factor(at_np + sigma * m_np, out_dtype=dtype)
+            lus.append(lu)
+            pivs.append(piv)
+        return ShiftedLUCache(jnp.stack(lus), jnp.stack(pivs))
 
     def solve(self, i: jax.Array, rhs: jax.Array) -> jax.Array:
         """x = (A^T + sigma_i M)^{-1} rhs, rhs (n,) or (n, k)."""

@@ -52,6 +52,7 @@ class SolverConfig:
     r_max: int = 40
     dtype: str = "float32"
     imex_scheme: str = "oseen"
+    step_solver: str = "lu"  # 'lu' | 'inverse' (GEMM apply, solvers/saddle.py)
     feedback: str = "implicit"  # SMW-implicit gains: robust for cheap control
     matmul_precision: str = "highest"
 

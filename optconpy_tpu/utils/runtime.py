@@ -11,9 +11,20 @@ jit on device.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 
 
 def setup(matmul_precision: str = "highest") -> None:
     """Configure JAX for the solver workload (idempotent)."""
     jax.config.update("jax_default_matmul_precision", matmul_precision)
+    # Persistent compilation cache: the big solver graphs (DRE sweep,
+    # batched rollouts) compile in minutes through the TPU tunnel but
+    # hit this cache on every rerun (verified cross-process).
+    cache_dir = os.environ.get(
+        "OPTCONPY_TPU_XLA_CACHE",
+        os.path.join(os.getcwd(), "data", "xla_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -94,7 +94,7 @@ def main():
         jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
         n_newton=1, r_max=R_MAX,
     )
-    ks = jax.block_until_ready(ks)
+    np.asarray(ks)  # host materialization = hard barrier
     t_dre = time.time() - t0
     adi_per_s = NTS_GAIN * N_ADI / t_dre
     log(f"DRE sweep {t_dre:.1f}s ({adi_per_s:.2f} ADI iters/s incl compile)")
@@ -125,13 +125,13 @@ def main():
     vs_c, us_c, _ = batched_nse_closed_loop(
         sysd, conv, stepper, ks_roll, ws, v0, ALPHA, DT, feedback="implicit"
     )
-    vs_c = jax.block_until_ready(vs_c)
+    vs_c = np.asarray(vs_c)
     t_roll = time.time() - t0
     vs_u, _, _ = batched_nse_closed_loop(
         sysd, conv, stepper, jnp.zeros_like(ks_roll), ws, v0, ALPHA, DT,
         feedback="implicit",
     )
-    vs_u = jax.block_until_ready(vs_u)
+    vs_u = np.asarray(vs_u)
     e_c, e_u = energy(vs_c), energy(vs_u)
     ratio = float(e_c[:, -1].mean() / e_u[:, -1].mean())
     log(

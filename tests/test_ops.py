@@ -160,3 +160,38 @@ class TestDense:
         np.testing.assert_allclose(
             np.asarray(x), np.linalg.solve(a, b), rtol=1e-10
         )
+
+
+def test_dense_inverse_matches_lu():
+    from optconpy_tpu.ops.dense import DenseInverse, LUSolver
+
+    rng = np.random.default_rng(7)
+    n = 80
+    a = rng.standard_normal((n, n)) + 3 * np.sqrt(n) * np.eye(n)
+    b = rng.standard_normal((n, 5))
+    x_lu = np.asarray(LUSolver.factor(jnp.asarray(a)).apply(jnp.asarray(b)))
+    x_inv = np.asarray(
+        DenseInverse.factor(jnp.asarray(a)).apply(jnp.asarray(b))
+    )
+    np.testing.assert_allclose(x_inv, x_lu, rtol=0, atol=1e-10)
+
+
+def test_saddle_inverse_matches_saddle_lu():
+    from optconpy_tpu.solvers import SaddleInverse, SaddleLU
+
+    rng = np.random.default_rng(8)
+    n, n_p = 60, 12
+    f = rng.standard_normal((n, n)) + 3 * np.sqrt(n) * np.eye(n)
+    j = rng.standard_normal((n_p, n))
+    rv = rng.standard_normal((n, 3))
+    rp = rng.standard_normal((n_p, 3))
+    lu = SaddleLU.build(jnp.asarray(f), jnp.asarray(j))
+    inv = SaddleInverse.build(jnp.asarray(f), jnp.asarray(j))
+    np.testing.assert_allclose(
+        np.asarray(inv.apply(jnp.asarray(rv), jnp.asarray(rp))),
+        np.asarray(lu.apply(jnp.asarray(rv), jnp.asarray(rp))),
+        rtol=0, atol=1e-9,
+    )
+    v1, p1 = inv.apply_full(jnp.asarray(rv), jnp.asarray(rp))
+    v2, p2 = lu.apply_full(jnp.asarray(rv), jnp.asarray(rp))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-9)

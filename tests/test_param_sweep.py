@@ -1,0 +1,111 @@
+"""Config-5 structure: parameter-sweep MPC over a family of
+linearizations, scenario-sharded on the virtual 8-device CPU mesh.
+
+Uses a viscosity sweep of the driven cavity (same geometry, different
+nu -> different steady state + gain per bucket) — structurally
+identical to the cylinder Re sweep at CI-friendly sizes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optconpy_tpu.fem.device_conv import ConvKernel
+from optconpy_tpu.models import cavity_stokes_setup
+from optconpy_tpu.parallel import (
+    assign_re_buckets,
+    build_sweep_gains_and_caches,
+    scenario_mesh,
+    sharded_sweep_rollout,
+    sweep_rollout,
+)
+from optconpy_tpu.solvers.steady import solve_steady_nse_host
+
+NUS = [1.0, 0.5]
+DT = 0.02
+NTS = 6
+ALPHA = 1e-8
+
+
+@pytest.fixture(scope="module")
+def sweep():
+    setups = []
+    for nu in NUS:
+        np_ops, sys, cond = cavity_stokes_setup(nx=5, nu=nu)
+        np_ops["vbar_full"], _ = solve_steady_nse_host(np_ops["full"], cond)
+        setups.append((np_ops, sys, cond))
+    cache_stack, ks = build_sweep_gains_and_caches(
+        setups, DT, ALPHA, dtype=jnp.float64,
+        num_shifts=6, n_adi=12, nts_gain=4, r_max=16, solver="lu",
+    )
+    np_ops0, sys64, cond0 = setups[0]
+    sys = sys64.astype(jnp.float64)
+    conv = ConvKernel.build(np_ops0["full"], cond0, dtype=jnp.float64)
+    return setups, cache_stack, ks, sys, conv
+
+
+def test_sweep_rollout_per_bucket_consistency(sweep):
+    """The stacked-vmap sweep == running each bucket alone."""
+    setups, cache_stack, ks, sys, conv = sweep
+    rng = np.random.default_rng(0)
+    n = sys.n
+    vbars = np.stack(
+        [np.asarray(cache_stack.vbar[r]) for r in range(len(NUS))]
+    )
+    v0 = jnp.asarray(vbars[:, None, :] + 1e-3 * rng.standard_normal(
+        (len(NUS), 4, n)))
+    ys, u_sq, v_fin = sweep_rollout(
+        sys, conv, cache_stack, ks, v0, ALPHA, DT, NTS
+    )
+    assert ys.shape == (len(NUS), 4, NTS + 1, sys.p_out)
+    assert np.isfinite(np.asarray(ys)).all()
+    # Bucket 0 alone:
+    from optconpy_tpu.mpc.nse_rollout import nse_closed_loop_outputs
+
+    cache0 = jax.tree.map(lambda x: x[0], cache_stack)
+    ys0, _, _ = nse_closed_loop_outputs(
+        sys, conv, cache0, ks[0], v0[0, 0], ALPHA, DT, NTS
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys[0, 0]), np.asarray(ys0), rtol=0, atol=1e-13
+    )
+
+
+def test_sharded_sweep_matches_unsharded(sweep):
+    setups, cache_stack, ks, sys, conv = sweep
+    devs = jax.devices("cpu")[:8]
+    mesh = scenario_mesh(devs)
+    rng = np.random.default_rng(1)
+    n = sys.n
+    s_per = 16  # divisible by 8 devices
+    vbars = np.stack(
+        [np.asarray(cache_stack.vbar[r]) for r in range(len(NUS))]
+    )
+    v0 = jnp.asarray(
+        vbars[:, None, :] + 1e-3 * rng.standard_normal((len(NUS), s_per, n))
+    )
+    ys_ref, u_ref, _ = sweep_rollout(
+        sys, conv, cache_stack, ks, v0, ALPHA, DT, NTS
+    )
+    ys_sh, stats = sharded_sweep_rollout(
+        mesh, sys, conv, cache_stack, ks, v0, ALPHA, DT, NTS
+    )
+    np.testing.assert_allclose(
+        np.asarray(ys_sh), np.asarray(ys_ref), rtol=0, atol=1e-12
+    )
+    assert int(stats["scenarios"]) == s_per
+    ref_cost = (
+        np.sum(np.asarray(ys_ref) ** 2, axis=(1, 2, 3)) * DT
+        + ALPHA * np.sum(np.asarray(u_ref), axis=(1, 2)) * DT
+    ) / s_per
+    np.testing.assert_allclose(
+        np.asarray(stats["mean_cost"]), ref_cost, rtol=1e-10
+    )
+
+
+def test_bucket_assignment():
+    res = np.array([61.0, 149.0, 100.0, 80.0])
+    buckets = np.array([60.0, 90.0, 120.0, 150.0])
+    np.testing.assert_array_equal(
+        assign_re_buckets(res, buckets), [0, 3, 1, 1]
+    )
