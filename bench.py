@@ -78,7 +78,8 @@ def main() -> None:
         np_ops["A"], np_ops["M"], np_ops["J"], DT,
         num_shifts=N_SHIFTS, n_adi=N_ADI,
     )
-    dre_cache = build_dre_cache_dae(sys, DT, sig, dtype=dtype)
+    dre_cache = build_dre_cache_dae(sys, DT, sig, dtype=dtype,
+                                    solver="inverse")
     ss_dev = jnp.asarray(sigma_seq, dtype)
     ii_dev = jnp.asarray(idx_seq)
 

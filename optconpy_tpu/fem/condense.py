@@ -66,3 +66,13 @@ class BCCondenser:
 
     def restrict(self, v_full: np.ndarray) -> np.ndarray:
         return np.asarray(v_full)[self.free]
+
+    def expand_pressure(self, p_inner: np.ndarray,
+                        n_press: int) -> np.ndarray:
+        """Re-insert the pinned pressure dof (zero there) — together
+        with expand() this is the reference's expand_vp_dolfunc lift
+        (SURVEY.md SS2 row 3) back to full (v, p) fields."""
+        out_shape = (n_press,) + p_inner.shape[1:]
+        full = np.zeros(out_shape, p_inner.dtype)
+        full[self.press_keep] = p_inner
+        return full

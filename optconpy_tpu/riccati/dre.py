@@ -47,15 +47,22 @@ def dre_shift_schedule(
 
 
 def build_dre_cache(
-    sys: LTISystem, dt: float, sig: np.ndarray, dtype=None
+    sys: LTISystem, dt: float, sig: np.ndarray, dtype=None,
+    solver: str = "lu",
 ) -> ShiftedLUCache:
-    """Batched LU of (Atil^T + sigma_j M), Atil = A - M/(2 dt)."""
+    """Shifted cache for (Atil^T + sigma_j M), Atil = A - M/(2 dt).
+
+    solver: 'lu' (triangular solves) or 'inverse' (one GEMM per solve,
+    ~10x solve throughput on the MXU — solvers/shifted.py)."""
+    from ..solvers.shifted import ShiftedInverseCache
+
     m_d, a_d = sys.dense()
     at_til = a_d.T - m_d / (2.0 * dt)  # M symmetric
     if dtype is not None:
         at_til = at_til.astype(dtype)
         m_d = m_d.astype(dtype)
-    return ShiftedLUCache.build(at_til, m_d, jnp.asarray(sig, at_til.dtype))
+    cls = {"lu": ShiftedLUCache, "inverse": ShiftedInverseCache}[solver]
+    return cls.build(at_til, m_d, jnp.asarray(sig, at_til.dtype))
 
 
 def dre_shift_schedule_dae(
@@ -83,9 +90,16 @@ def dre_shift_schedule_dae(
     return sig, np.tile(sig, reps)[:n_adi], np.tile(idx, reps)[:n_adi]
 
 
-def build_dre_cache_dae(sys, dt: float, sig: np.ndarray, dtype=None):
-    """Batched saddle LU of [[Atil^T + sigma M, J^T], [J, 0]]."""
-    from ..solvers.saddle import SaddleShiftedLUCache
+def build_dre_cache_dae(
+    sys, dt: float, sig: np.ndarray, dtype=None, solver: str = "lu"
+):
+    """Shifted saddle cache of [[Atil^T + sigma M, J^T], [J, 0]].
+
+    solver: 'lu' or 'inverse' (GEMM apply — solvers/saddle.py)."""
+    from ..solvers.saddle import (
+        SaddleShiftedInverseCache,
+        SaddleShiftedLUCache,
+    )
 
     m_d, a_d, j_d = sys.dense()
     at_til = a_d.T - m_d / (2.0 * dt)
@@ -93,9 +107,11 @@ def build_dre_cache_dae(sys, dt: float, sig: np.ndarray, dtype=None):
         at_til = at_til.astype(dtype)
         m_d = m_d.astype(dtype)
         j_d = j_d.astype(dtype)
-    return SaddleShiftedLUCache.build(
-        at_til, m_d, j_d, jnp.asarray(sig, at_til.dtype)
-    )
+    cls = {
+        "lu": SaddleShiftedLUCache,
+        "inverse": SaddleShiftedInverseCache,
+    }[solver]
+    return cls.build(at_til, m_d, j_d, jnp.asarray(sig, at_til.dtype))
 
 
 def build_dre_cache_dae_krylov(

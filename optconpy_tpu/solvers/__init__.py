@@ -7,17 +7,20 @@ from .krylov import (
 )
 from .saddle import (
     SaddleInverse,
+    SaddleShiftedInverseCache,
     SaddleLU,
     SaddleShiftedLUCache,
     solve_sadpnt_scipy,
 )
-from .shifted import ShiftedLUCache
+from .shifted import ShiftedInverseCache, ShiftedLUCache
 
 __all__ = [
     "SaddleInverse",
     "SaddleLU",
+    "SaddleShiftedInverseCache",
     "SaddleShiftedKrylovCache",
     "SaddleShiftedLUCache",
+    "ShiftedInverseCache",
     "ShiftedKrylovCache",
     "ShiftedLUCache",
     "cg",

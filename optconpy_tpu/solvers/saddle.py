@@ -236,3 +236,54 @@ class SaddleInverse:
         sol, squeeze = self._solve(rhs_v, rhs_p)
         v, p = sol[: self.n], sol[self.n :]
         return (v[:, 0], p[:, 0]) if squeeze else (v, p)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("inv",),
+    meta_fields=("n",),
+)
+@dataclass(frozen=True)
+class SaddleShiftedInverseCache:
+    """Host-built explicit inverses of the shifted saddle systems,
+    applied as one GEMM per solve (velocity block returned) — the
+    MXU-optimal ADI solve path; same contract as SaddleShiftedLUCache."""
+
+    inv: jax.Array  # (J, n+np, n+np)
+    n: int
+
+    @staticmethod
+    def build(at_dense, m_dense, j_dense, shifts):
+        import numpy as np
+
+        from ..ops.dense import host_inverse
+
+        n = at_dense.shape[0]
+        n_p = j_dense.shape[0]
+        dtype = jnp.asarray(at_dense).dtype
+        at_np = np.asarray(at_dense, dtype=np.float64)
+        m_np = np.asarray(m_dense, dtype=np.float64)
+        j_np = np.asarray(j_dense, dtype=np.float64)
+        invs = []
+        for sigma in np.asarray(shifts, dtype=np.float64):
+            big = np.zeros((n + n_p, n + n_p))
+            big[:n, :n] = at_np + sigma * m_np
+            big[:n, n:] = j_np.T
+            big[n:, :n] = j_np
+            invs.append(host_inverse(big, out_dtype=dtype))
+        return SaddleShiftedInverseCache(jnp.stack(invs), n)
+
+    def solve(self, i: jax.Array, rhs: jax.Array) -> jax.Array:
+        inv_i = jax.lax.dynamic_index_in_dim(self.inv, i, keepdims=False)
+        squeeze = rhs.ndim == 1
+        if squeeze:
+            rhs = rhs[:, None]
+        # Only the velocity-block columns of the inverse act on a
+        # velocity-only rhs; slice instead of padding with zeros.
+        x = inv_i[: self.n, : self.n] @ rhs
+        return x[:, 0] if squeeze else x
+
+    def solve_smw(
+        self, i: jax.Array, u: jax.Array, v: jax.Array, rhs: jax.Array
+    ) -> jax.Array:
+        return smw_solve(lambda r: self.solve(i, r), u, v, rhs)

@@ -73,3 +73,45 @@ class ShiftedLUCache:
         U = K^T (n, m), V = B (n, m).
         """
         return smw_solve(lambda r: self.solve(i, r), u, v, rhs)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("inv",),
+    meta_fields=(),
+)
+@dataclass(frozen=True)
+class ShiftedInverseCache:
+    """Host-built explicit inverses of (A^T + sigma_i M), applied as one
+    GEMM per solve — ~10x the triangular-solve throughput on the MXU
+    (ops/dense.py rationale). Same solve/solve_smw contract."""
+
+    inv: jax.Array  # (J, n, n)
+
+    @staticmethod
+    def build(at_dense, m_dense, shifts):
+        import numpy as np
+
+        from ..ops.dense import host_inverse
+
+        dtype = jnp.asarray(at_dense).dtype
+        at_np = np.asarray(at_dense, dtype=np.float64)
+        m_np = np.asarray(m_dense, dtype=np.float64)
+        invs = [
+            host_inverse(at_np + sigma * m_np, out_dtype=dtype)
+            for sigma in np.asarray(shifts, dtype=np.float64)
+        ]
+        return ShiftedInverseCache(jnp.stack(invs))
+
+    def solve(self, i: jax.Array, rhs: jax.Array) -> jax.Array:
+        inv_i = jax.lax.dynamic_index_in_dim(self.inv, i, keepdims=False)
+        squeeze = rhs.ndim == 1
+        if squeeze:
+            rhs = rhs[:, None]
+        x = inv_i @ rhs
+        return x[:, 0] if squeeze else x
+
+    def solve_smw(
+        self, i: jax.Array, u: jax.Array, v: jax.Array, rhs: jax.Array
+    ) -> jax.Array:
+        return smw_solve(lambda r: self.solve(i, r), u, v, rhs)

@@ -10,11 +10,14 @@ from .config import (
     config_from_json,
 )
 from .metrics import MetricsLogger, device_timeit
+from .profiling import SectionTimer, trace
 from .runtime import setup
 
 __all__ = [
     "CostConfig",
     "MetricsLogger",
+    "SectionTimer",
+    "trace",
     "OptConConfig",
     "ProblemConfig",
     "ShardingConfig",

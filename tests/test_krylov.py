@@ -126,3 +126,41 @@ def test_adi_with_krylov_cache_matches_lu(cavity):
     z_kr = np.asarray(lowrank_adi(kr_cache, **args))
     rel = np.abs(z_kr - z_lu).max() / np.abs(z_lu).max()
     assert rel < 1e-6, rel
+
+
+def test_inverse_caches_match_lu(heat, cavity):
+    """GEMM-apply shifted caches == LU caches (both backends)."""
+    np_ops, sys = heat
+    a_min, a_max = spectral_interval(np_ops["A"], np_ops["M"])
+    sig = jnp.asarray(wachspress_shifts(a_min, a_max, 6))
+    at_d = jnp.asarray(np_ops["A"].T.toarray())
+    m_d = sys.mass.todense()
+    from optconpy_tpu.solvers import (
+        SaddleShiftedInverseCache,
+        ShiftedInverseCache,
+    )
+
+    lu_c = ShiftedLUCache.build(at_d, m_d, sig)
+    inv_c = ShiftedInverseCache.build(at_d, m_d, sig)
+    rng = np.random.default_rng(4)
+    rhs = jnp.asarray(rng.standard_normal((sys.n, 3)))
+    for i in (0, 5):
+        x1 = np.asarray(lu_c.solve(jnp.int32(i), rhs))
+        x2 = np.asarray(inv_c.solve(jnp.int32(i), rhs))
+        np.testing.assert_allclose(x2, x1, rtol=0,
+                                   atol=1e-9 * np.abs(x1).max())
+
+    np_ops_c, sys_c, _ = cavity
+    a_min, a_max = spectral_interval_dae(
+        np_ops_c["A"], np_ops_c["M"], np_ops_c["J"]
+    )
+    sigc = jnp.asarray(wachspress_shifts(a_min, a_max, 6))
+    m_dc, a_dc, j_dc = sys_c.dense()
+    lu_s = SaddleShiftedLUCache.build(a_dc.T, m_dc, j_dc, sigc)
+    inv_s = SaddleShiftedInverseCache.build(a_dc.T, m_dc, j_dc, sigc)
+    rhs = jnp.asarray(rng.standard_normal((sys_c.n, 2)))
+    for i in (1, 4):
+        x1 = np.asarray(lu_s.solve(jnp.int32(i), rhs))
+        x2 = np.asarray(inv_s.solve(jnp.int32(i), rhs))
+        np.testing.assert_allclose(x2, x1, rtol=0,
+                                   atol=1e-8 * np.abs(x1).max())
