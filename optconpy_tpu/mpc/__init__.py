@@ -1,7 +1,10 @@
 """mpc/ — closed-loop rollouts and receding-horizon control."""
 from .nse_rollout import (
+    NSEFusedCache,
     NSEStepCache,
     batched_nse_closed_loop,
+    batched_nse_closed_loop_fused,
+    build_nse_fused,
     build_nse_step_cache,
     build_nse_stepper,
     nse_closed_loop_rollout,
@@ -17,8 +20,11 @@ from .rollout import (
 __all__ = [
     "RHConfig",
     "receding_horizon_mpc",
+    "NSEFusedCache",
     "NSEStepCache",
     "batched_nse_closed_loop",
+    "batched_nse_closed_loop_fused",
+    "build_nse_fused",
     "build_nse_step_cache",
     "build_nse_stepper",
     "build_step_cache",

