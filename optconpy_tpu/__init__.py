@@ -19,4 +19,4 @@ Layer map (SURVEY.md SS7):
     golden/    serial f64 scipy reference implementations (the oracle)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

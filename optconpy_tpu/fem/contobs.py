@@ -55,6 +55,36 @@ def get_inp_opa(space: TaylorHoodSpace, boxes) -> np.ndarray:
     return np.stack(cols, axis=1)
 
 
+def get_regularized_c(c_inner: np.ndarray, m_sp, j_sp) -> np.ndarray:
+    """Leray-regularized observation operator (SURVEY.md SS2 row 4).
+
+    Parity with the reference's cont_obs_utils.get_regularized_c: the
+    raw C observes the full velocity, but Riccati theory on the
+    projected (divergence-free) state needs C~ = C Pi with the discrete
+    Leray projector Pi = I - M^-1 J^T (J M^-1 J^T)^-1 J. The projector
+    is never formed: each row c of C is regularized by one saddle solve
+
+        [[M, J^T], [J, 0]] [v; lam] = [c^T; 0]   =>   c~^T = M v,
+
+    because M v = Pi^T c^T (app_prj_via_sadpnt contract, SURVEY.md SS2
+    row 5). Host-side f64 setup step; returns C~ (p, n) with
+    C~ w == C w for every w in ker J and C~ (M^-1 J^T q) == 0.
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    m_sp = sp.csr_matrix(m_sp)
+    j_sp = sp.csr_matrix(j_sp)
+    n = m_sp.shape[0]
+    n_p = j_sp.shape[0]
+    big = sp.bmat([[m_sp, j_sp.T], [j_sp, None]], format="csc")
+    lu = spla.splu(big)
+    rhs = np.zeros((n + n_p, c_inner.shape[0]))
+    rhs[:n] = np.asarray(c_inner, dtype=np.float64).T
+    sol = lu.solve(rhs)
+    return (m_sp @ sol[:n]).T
+
+
 def get_mout_opa(space: TaylorHoodSpace, boxes) -> np.ndarray:
     """Observation operator C (2*len(boxes), 2ns): component means."""
     ns = space.n_scalar

@@ -92,17 +92,11 @@ class ConvKernel:
             "eijkb,ejb,eka->eia", self.t0, v_loc, v_loc
         )  # (nt, 6, 2)
         flat_idx = self.tri_dofs.reshape(-1)  # (nt*6,)
+        # Scatter-add via indexed .at[].add (the supported segment-sum
+        # spelling; XLA lowers both to the same scatter).
         out = jnp.zeros((2, ns), v_full.dtype)
-        out = out.at[0].add(
-            jax.ops.segment_sum(
-                out_loc[:, :, 0].reshape(-1), flat_idx, num_segments=ns
-            )
-        )
-        out = out.at[1].add(
-            jax.ops.segment_sum(
-                out_loc[:, :, 1].reshape(-1), flat_idx, num_segments=ns
-            )
-        )
+        out = out.at[0, flat_idx].add(out_loc[:, :, 0].reshape(-1))
+        out = out.at[1, flat_idx].add(out_loc[:, :, 1].reshape(-1))
         return out.reshape(-1)
 
     def conv_inner(self, v_inner: jax.Array) -> jax.Array:

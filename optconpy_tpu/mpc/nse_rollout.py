@@ -113,7 +113,7 @@ def build_nse_stepper(
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("pmat", "inv_vv", "gmat", "c0", "vbar"),
-    meta_fields=(),
+    meta_fields=("dt",),
 )
 @dataclass(frozen=True)
 class NSEFusedCache:
@@ -137,6 +137,7 @@ class NSEFusedCache:
     gmat: jax.Array  # (n, m)
     c0: jax.Array  # (n,)
     vbar: jax.Array  # (n,)
+    dt: float  # baked into pmat/c0 at build time (meta, checked at apply)
 
 
 def build_nse_fused(
@@ -146,22 +147,29 @@ def build_nse_fused(
     dtype=jnp.float32,
     scheme: str = "oseen",
 ) -> NSEFusedCache:
-    """Host-side (f64) builder of the fused Oseen-IMEX step cache."""
+    """Host-side (f64) builder of the fused Oseen-IMEX step cache.
+
+    All contractions stay in NUMPY float64 on the host — x64 need not be
+    enabled in JAX — and each cached array crosses to the device dtype
+    exactly once at the end.
+    """
     import numpy as np
+    import scipy.linalg as sla
 
     from ..fem.taylor_hood import convection_matrices
-    from ..ops.dense import host_inverse
 
     full = np_ops["full"]
-    m_i = np_ops["M"].toarray()
-    a_stokes_i = cond.mat_inner(full["A"]).toarray()
-    j_i = np_ops["J"].toarray()
+    m_i = np.asarray(np_ops["M"].toarray(), dtype=np.float64)
+    a_stokes_i = np.asarray(
+        cond.mat_inner(full["A"]).toarray(), dtype=np.float64
+    )
+    j_i = np.asarray(np_ops["J"].toarray(), dtype=np.float64)
     n = m_i.shape[0]
     n_p = j_i.shape[0]
 
     if scheme == "oseen":
         l1, _ = convection_matrices(full, np_ops["vbar_full"])
-        l1_i = cond.mat_inner(l1).toarray()
+        l1_i = np.asarray(cond.mat_inner(l1).toarray(), dtype=np.float64)
     elif scheme == "explicit":
         l1_i = np.zeros((n, n))
     else:
@@ -171,11 +179,12 @@ def build_nse_fused(
     big[:n, :n] = m_i / dt - a_stokes_i + l1_i
     big[:n, n:] = j_i.T
     big[n:, :n] = j_i
-    inv = host_inverse(big, out_dtype=np.float64)
+    lu, piv = sla.lu_factor(big)
+    inv = sla.lu_solve((lu, piv), np.eye(n + n_p))  # stays np.float64
     inv_vv = inv[:n, :n]
     inv_vp = inv[:n, n:]
-    fv = cond.mat_bc_rhs(full["A"])
-    fp = cond.jmat_bc_rhs(full["J"])
+    fv = np.asarray(cond.mat_bc_rhs(full["A"]), dtype=np.float64)
+    fp = np.asarray(cond.jmat_bc_rhs(full["J"]), dtype=np.float64)
     b_np = np.asarray(np_ops["B"].toarray() if hasattr(
         np_ops["B"], "toarray") else np_ops["B"], dtype=np.float64)
     return NSEFusedCache(
@@ -184,6 +193,7 @@ def build_nse_fused(
         gmat=jnp.asarray(inv_vv @ b_np, dtype),
         c0=jnp.asarray(inv_vp @ fp - inv_vv @ fv, dtype),
         vbar=jnp.asarray(cond.restrict(np_ops["vbar_full"]), dtype),
+        dt=float(dt),
     )
 
 
@@ -336,8 +346,16 @@ def batched_nse_closed_loop(
     """vmap over scenario initial states v0_batch (S, n).
 
     An NSEFusedCache dispatches to the fused time-major scan
-    (batched_nse_closed_loop_fused) — same return contract."""
+    (batched_nse_closed_loop_fused) — same return contract. The fused
+    cache bakes dt into pmat/c0 at build time, so the passed dt must
+    match the build dt (checked here: silent mismatch = wrong dynamics).
+    """
     if isinstance(cache, NSEFusedCache):
+        if abs(cache.dt - dt) > 1e-12 * max(abs(dt), 1e-30):
+            raise ValueError(
+                f"dt={dt} disagrees with NSEFusedCache build dt="
+                f"{cache.dt}; rebuild the cache for this dt"
+            )
         return batched_nse_closed_loop_fused(
             sys, conv, cache, ks, ws, v0_batch, alpha, feedback
         )

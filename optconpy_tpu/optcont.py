@@ -63,7 +63,12 @@ def get_ystarvec(
 
 
 def _setup_problem(cfg: OptConConfig):
-    """Dispatch to the problem family; returns (np_ops, sys64, cond)."""
+    """Dispatch to the problem family; returns (np_ops, sys64, cond).
+
+    cond is None for unconstrained problems (heat1d, config 1): no
+    divergence constraint, no convection — the driver then takes the
+    linear LTI sweep path instead of the NSE one.
+    """
     p = cfg.problem
     if p.name == "cylinderwake":
         from .models.cylinder import cylinder_setup
@@ -81,6 +86,11 @@ def _setup_problem(cfg: OptConConfig):
             np_ops["full"], cond
         )
         return np_ops, sys, cond
+    if p.name == "heat1d":
+        from .fem.heat1d import heat1d_operators
+
+        np_ops, sys = heat1d_operators(n=p.n_dof)
+        return np_ops, sys, None
     raise ValueError(f"unknown problem: {p.name}")
 
 
@@ -105,14 +115,12 @@ def optcon_nse(
     import jax.numpy as jnp
 
     from . import utils
-    from .control import build_costate_cache_dae, feedforward_sweep
-    from .fem.device_conv import ConvKernel
-    from .mpc import build_nse_stepper, batched_nse_closed_loop
-    from .riccati import (
-        build_dre_cache_dae,
-        dre_backward_sweep,
-        dre_shift_schedule_dae,
+    from .control import (
+        build_costate_cache,
+        build_costate_cache_dae,
+        feedforward_sweep,
     )
+    from .riccati import dre_backward_sweep
 
     utils.setup(cfg.solver.matmul_precision)
     met = metrics or MetricsLogger()
@@ -125,18 +133,32 @@ def optcon_nse(
 
     with met.timed("setup", problem=cfg.problem.name):
         np_ops, sys64, cond = _setup_problem(cfg)
+    constrained = cond is not None
     sys = sys64.astype(dtype)
     n, m = sys.b.shape
     p_out = sys.p_out
-    met.log("operators", n=n, n_p=sys.n_p, m=m, p=p_out)
+    met.log(
+        "operators", n=n, n_p=sys.n_p if constrained else 0, m=m, p=p_out
+    )
 
     # --- Backward DRE sweep: per-timestep gains (checkpointed). ---
     def compute_gains():
-        sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
-            np_ops["A"], np_ops["M"], np_ops["J"], dt,
-            num_shifts=cfg.solver.num_shifts, n_adi=cfg.solver.n_adi,
-        )
-        cache = build_dre_cache_dae(sys, dt, sig, dtype=dtype)
+        if constrained:
+            from .riccati import build_dre_cache_dae, dre_shift_schedule_dae
+
+            sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+                np_ops["A"], np_ops["M"], np_ops["J"], dt,
+                num_shifts=cfg.solver.num_shifts, n_adi=cfg.solver.n_adi,
+            )
+            cache = build_dre_cache_dae(sys, dt, sig, dtype=dtype)
+        else:
+            from .riccati import build_dre_cache, dre_shift_schedule
+
+            sig, sigma_seq, idx_seq = dre_shift_schedule(
+                np_ops["A"], np_ops["M"], dt,
+                num_shifts=cfg.solver.num_shifts, n_adi=cfg.solver.n_adi,
+            )
+            cache = build_dre_cache(sys, dt, sig, dtype=dtype)
         zs, ks = dre_backward_sweep(
             sys, cache, cfg.cost.alpha, dt, nts,
             jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
@@ -144,7 +166,10 @@ def optcon_nse(
         )
         return {"ks": np.asarray(ks), "z0": np.asarray(zs[0])}
 
-    vbar_i = cond.restrict(np_ops["vbar_full"])
+    if constrained:
+        vbar_i = cond.restrict(np_ops["vbar_full"])
+    else:
+        vbar_i = np.zeros(n)
     y_bar = np.asarray(np_ops["C"] @ vbar_i)
     ystar = get_ystarvec(cfg.cost, times, p_out, y_ref=y_bar)
 
@@ -156,27 +181,48 @@ def optcon_nse(
         # --- Feedforward sweep (perturbation coordinates). ---
         ystar_delta = jnp.asarray(ystar - y_bar[None, :], dtype)
         with met.timed("feedforward_sweep"):
-            costate_cache = build_costate_cache_dae(sys, dt)
+            costate_cache = (
+                build_costate_cache_dae(sys, dt) if constrained
+                else build_costate_cache(sys, dt)
+            )
             ws = feedforward_sweep(sys, costate_cache, ks, ystar_delta, dt)
     else:
         ks = jnp.zeros((nts + 1, m, n), dtype)
         ws = jnp.zeros((nts + 1, n), dtype)
 
-    # --- Forward nonlinear closed-loop sweep. ---
-    conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
-    stepper = build_nse_stepper(
-        np_ops, cond, dt, dtype=dtype, scheme=cfg.solver.imex_scheme,
-        solver=cfg.solver.step_solver,
-    )
-    if v0_batch is None:
-        v0_batch = np.asarray(vbar_i)[None, :]
-    v0_dev = jnp.asarray(v0_batch, dtype)
-    with met.timed("closed_loop_rollout", scenarios=len(v0_batch)):
-        vs, us, ys = batched_nse_closed_loop(
-            sys, conv, stepper, ks, ws, v0_dev, cfg.cost.alpha, dt,
-            feedback=cfg.solver.feedback,
+    # --- Forward closed-loop sweep (nonlinear NSE or linear LTI). ---
+    if constrained:
+        from .fem.device_conv import ConvKernel
+        from .mpc import batched_nse_closed_loop, build_nse_stepper
+
+        conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
+        stepper = build_nse_stepper(
+            np_ops, cond, dt, dtype=dtype, scheme=cfg.solver.imex_scheme,
+            solver=cfg.solver.step_solver,
         )
-        vs, us, ys = jax.block_until_ready((vs, us, ys))
+        if v0_batch is None:
+            v0_batch = np.asarray(vbar_i)[None, :]
+        v0_dev = jnp.asarray(v0_batch, dtype)
+        with met.timed("closed_loop_rollout", scenarios=len(v0_batch)):
+            vs, us, ys = batched_nse_closed_loop(
+                sys, conv, stepper, ks, ws, v0_dev, cfg.cost.alpha, dt,
+                feedback=cfg.solver.feedback,
+            )
+            vs, us, ys = jax.block_until_ready((vs, us, ys))
+    else:
+        from .fem.heat1d import initial_state
+        from .mpc import batched_closed_loop, build_step_cache
+
+        stepper = build_step_cache(sys, dt)
+        if v0_batch is None:
+            v0_batch = initial_state(n)[None, :]
+        v0_dev = jnp.asarray(v0_batch, dtype)
+        with met.timed("closed_loop_rollout", scenarios=len(v0_batch)):
+            vs, us, ys = batched_closed_loop(
+                sys, stepper, ks, ws, v0_dev, cfg.cost.alpha, dt,
+                feedback=cfg.solver.feedback,
+            )
+            vs, us, ys = jax.block_until_ready((vs, us, ys))
 
     ys_np = np.asarray(ys)
     us_np = np.asarray(us)
@@ -189,7 +235,7 @@ def optcon_nse(
     )
     met.log("result", cost=cost, max_abs_y=float(np.abs(ys_np).max()))
 
-    if vtk_dir is not None:
+    if vtk_dir is not None and constrained:
         from .utils.vtk import write_vtk_series
 
         vs0_full = np.stack(

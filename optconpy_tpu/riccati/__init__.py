@@ -6,6 +6,7 @@ from .shifts import (
     cycled_shifts,
     dre_shifted_interval,
 )
+from .bernoulli import stabilizing_gain_dae, stabilizing_gain_reduced
 from .lyap_adi import lowrank_adi, lyap_residual_norm
 from .newton_kleinman import newton_adi_are, gain_from_factor
 from .dre import (
@@ -28,6 +29,8 @@ __all__ = [
     "dre_shifted_interval",
     "lowrank_adi",
     "lyap_residual_norm",
+    "stabilizing_gain_dae",
+    "stabilizing_gain_reduced",
     "newton_adi_are",
     "gain_from_factor",
     "dre_shift_schedule",

@@ -22,9 +22,21 @@ DEFAULT_CACHE_DIR = os.environ.get(
 )
 
 
+def _code_salt() -> str:
+    """Package-version salt folded into artifact filenames.
+
+    A gains npz cached under a config hash must not survive solver
+    changes across releases — bump __version__ when numerics change and
+    stale artifacts miss automatically.
+    """
+    from .. import __version__
+
+    return "v" + __version__.replace(".", "_")
+
+
 def _artifact_path(key: str, name: str, cache_dir: str | None) -> Path:
     d = Path(cache_dir or DEFAULT_CACHE_DIR)
-    return d / f"{key}__{name}.npz"
+    return d / f"{key}-{_code_salt()}__{name}.npz"
 
 
 def save_arrays(key: str, name: str, arrays: dict, cache_dir=None) -> Path:

@@ -40,7 +40,17 @@ def main():
     v2 = v_full_t.reshape(2, ns, B)
     v_loc = v2[:, flat].reshape(2, nt, 6, B)
     w = jnp.einsum("eijkb,bejB->eikB", t0t, v_loc)
-    out_loc = jnp.einsum("eikB,aekB->aeiB", w, v_loc)
+
+    def out_unrolled(vl):
+        # The shipped kernel's second contraction (conv_full_batch):
+        # unrolled multiply-adds, avoiding the (2, nt, 6, 6, B) einsum
+        # broadcast materialization.
+        acc = w[None, :, :, 0, :] * vl[:, :, None, 0, :]
+        for k in range(1, 6):
+            acc = acc + w[None, :, :, k, :] * vl[:, :, None, k, :]
+        return acc
+
+    out_loc = out_unrolled(v_loc)
     out_flat = jnp.concatenate(
         [out_loc.reshape(2, nt * 6, B), jnp.zeros((2, 1, B), dtype)], axis=1
     )
@@ -76,7 +86,10 @@ def main():
             lambda x: x.reshape(2, ns, B)[:, flat], v_full_t),
         "einsum_w": (
             lambda x: jnp.einsum("eijkb,bejB->eikB", t0t, x), v_loc),
-        "einsum_out": (
+        # Shipped kernel path (unrolled) vs the einsum alternative that
+        # conv_full_batch deliberately avoids — both labeled explicitly.
+        "out_unrolled": (out_unrolled, v_loc),
+        "out_einsum_alt": (
             lambda x: jnp.einsum("eikB,aekB->aeiB", w, x), v_loc),
         "scatter_sum": (
             lambda x: x[:, conv.scatter_slots].sum(axis=2), out_flat),
@@ -86,7 +99,6 @@ def main():
     for name, (op, x) in stages.items():
         res[name] = scanner(op, x)
         print(f"  done {name}", file=_sys.stderr)
-    t_no = 0.0
     for name, t in res.items():
         per = (t - res["noop"]) / ITERS * 1e3
         print(f"{name:16s} {per:8.3f} ms/iter", file=_sys.stderr)

@@ -53,8 +53,9 @@ def main():
         def run(v):
             def body(c, _):
                 out = op(c)
-                # keep shapes fixed: renormalize into c's shape
-                return c + 1e-12 * out[:, :n] if out.shape[1] >= n else c, None
+                # Shape-free data dependence so the op isn't DCE'd,
+                # without adding a per-iter renormalize op.
+                return c + out.ravel()[0] * 0, None
 
             c, _ = jax.lax.scan(body, v, None, length=ITERS)
             return c

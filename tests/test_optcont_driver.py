@@ -72,7 +72,7 @@ def test_driver_beats_uncontrolled(run, tmp_path):
 
 def test_checkpoint_resume_uses_cache(run):
     res, cache = run
-    gains_files = list(cache.glob(f"{res.extras['cache_key']}__gains.npz"))
+    gains_files = list(cache.glob(f"{res.extras['cache_key']}-*__gains.npz"))
     assert len(gains_files) == 1
     # Re-run: the DRE artifact is loaded, not recomputed (much faster
     # and bit-identical gains).
