@@ -49,7 +49,7 @@ def main() -> None:
     from optconpy_tpu.models.cylinder import cylinder_setup
     from optconpy_tpu.mpc.nse_rollout import (
         batched_nse_closed_loop,
-        build_nse_stepper,
+        build_nse_fused,
     )
     from optconpy_tpu.riccati import (
         build_dre_cache_dae,
@@ -110,11 +110,11 @@ def main() -> None:
     ks = jnp.broadcast_to(k0, (NTS + 1, m, n))
     ws = jnp.zeros((NTS + 1, n), dtype)
 
-    # --- IMEX rollout operands (Oseen scheme: L1(vbar) implicit;
-    # explicit-inverse GEMM apply — the MXU-optimal step solver). ---
-    step_cache = build_nse_stepper(
-        np_ops, cond, DT, dtype=dtype, solver="inverse"
-    )
+    # --- IMEX rollout operands: the FUSED Oseen step (whole linear
+    # part pre-contracted into two (n, n) GEMMs — mpc/nse_rollout.py
+    # NSEFusedCache, ~2.4x fewer step FLOPs than the unfused inverse
+    # apply; VERDICT r1 item 2). ---
+    step_cache = build_nse_fused(np_ops, cond, DT, dtype=dtype)
     vbar = step_cache.vbar
 
     rng = np.random.default_rng(0)
@@ -144,6 +144,39 @@ def main() -> None:
     t_roll = min(times)
     solves_per_s = S_BATCH * NTS / t_roll
     log(f"rollout best {t_roll:.3f}s -> {solves_per_s:.0f} solves/s")
+
+    # Model FLOPs / MFU for the fused step: two (n, n) GEMMs (pmat,
+    # inv_vv), the gain/input GEMMs, and the element-local convection
+    # contraction (eijkb,ejb,eka->eia).
+    nt = int(conv.t0.shape[0])
+    flops_step = (
+        4 * n * n  # pmat + inv_vv GEMMs
+        + 2 * nt * 6 * 6 * 6 * 2 * 2  # convection tensor contraction
+        + 4 * m * n  # feedback gain + B u
+    )
+    achieved_tflops = flops_step * solves_per_s / 1e12
+    v5e_bf16_peak = 197.0  # TFLOP/s; f32 MXU throughput is lower
+    mfu_bf16 = achieved_tflops / v5e_bf16_peak
+    log(
+        f"model FLOPs/step {flops_step/1e6:.1f} MF -> "
+        f"{achieved_tflops:.2f} TFLOP/s "
+        f"({100 * mfu_bf16:.1f}% of v5e bf16 peak)"
+    )
+
+    # Single-scenario latency: what a real-time MPC loop would see.
+    v0_one = v0_batch[:1]
+
+    def run_one():
+        _, _, ys1 = batched_nse_closed_loop(
+            sys, conv, step_cache, ks, ws, v0_one, ALPHA, DT,
+        )
+        return np.asarray(ys1)
+
+    run_one()  # compile
+    t0 = time.time()
+    run_one()
+    lat_ms_per_step = (time.time() - t0) / NTS * 1e3
+    log(f"single-scenario latency {lat_ms_per_step:.3f} ms/step")
 
     # --- Reference-architecture CPU baseline (splu + numpy conv). ---
     import scipy.sparse as sp
@@ -205,6 +238,50 @@ def main() -> None:
     cpu_solves_per_s = CPU_STEPS / t_cpu
     log(f"cpu baseline {t_cpu:.2f}s -> {cpu_solves_per_s:.1f} solves/s")
 
+    # --- ADI CPU-architecture baseline: scipy splu factorizations of
+    # the SAME shifted saddle pencils + the same ADI recurrence in
+    # numpy f64 (the reference's solve_proj_lyap_stein structure,
+    # SURVEY.md SS3.3) — gives "ADI iters/s" its vs_baseline. ---
+    a_lin_sp = np_ops["A"].tocsr()
+    at_til_sp = (a_lin_sp.T - m_sp / (2.0 * DT)).tocsr()
+    q_cols = sys.p_out + R_MAX + m  # the device sweep's W width
+    t0 = time.time()
+    lus_adi = [
+        spla.splu(
+            sp.bmat(
+                [[at_til_sp + s * m_sp, j_sp.T], [j_sp, None]],
+                format="csc",
+            )
+        )
+        for s in sig
+    ]
+    t_factor_adi = time.time() - t0
+    log(f"cpu ADI factors ({len(sig)} shifted saddles) {t_factor_adi:.1f}s")
+
+    rng_adi = np.random.default_rng(1)
+    w_np = rng_adi.standard_normal((n, q_cols))
+    zeros_p = np.zeros((n_p, q_cols))
+
+    def cpu_shift_solve(idx, rhs):
+        sol = lus_adi[idx].solve(np.concatenate([rhs, zeros_p]))
+        return sol[:n]
+
+    t0 = time.time()
+    v_it = cpu_shift_solve(0, w_np)
+    for it in range(1, N_ADI):
+        idx = it % len(sig)
+        mv = m_sp @ v_it
+        v_it = v_it - (sig[idx] + sig[idx - 1]) * cpu_shift_solve(idx, mv)
+    t_iters_adi = time.time() - t0
+    # Reference amortizes the factorizations over the whole sweep.
+    cpu_adi_iters_per_s = adi_iters / (
+        t_factor_adi + adi_iters * (t_iters_adi / N_ADI)
+    )
+    log(
+        f"cpu ADI baseline {t_iters_adi / N_ADI * 1e3:.1f} ms/iter -> "
+        f"{cpu_adi_iters_per_s:.2f} iters/s (amortized factors)"
+    )
+
     result = {
         "metric": "closed_loop_mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
@@ -216,7 +293,16 @@ def main() -> None:
             "scenarios": S_BATCH,
             "horizon_steps": NTS,
             "rollout_s": round(t_roll, 4),
+            "step_solver": "fused",
+            "model_flops_per_step": int(flops_step),
+            "achieved_tflops": round(achieved_tflops, 2),
+            "mfu_vs_v5e_bf16_peak": round(mfu_bf16, 4),
+            "latency_ms_per_step_s1": round(lat_ms_per_step, 3),
             "adi_iters_per_s": round(adi_iters_per_s, 2),
+            "cpu_adi_iters_per_s": round(cpu_adi_iters_per_s, 2),
+            "adi_vs_baseline": round(
+                adi_iters_per_s / cpu_adi_iters_per_s, 2
+            ),
             "cpu_ref_solves_per_s": round(cpu_solves_per_s, 2),
             "device": str(dev.device_kind),
         },

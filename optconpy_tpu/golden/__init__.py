@@ -4,6 +4,8 @@ from .dense_lqr import (
     golden_dre_sweep,
     golden_feedforward,
     golden_closed_loop,
+    golden_closed_loop_cn,
+    golden_closed_loop_cn_implicit,
     golden_closed_loop_implicit,
 )
 from .dae_reduce import nullspace_basis, reduce_dae, lift_gain, lift_x
@@ -13,6 +15,8 @@ __all__ = [
     "golden_dre_sweep",
     "golden_feedforward",
     "golden_closed_loop",
+    "golden_closed_loop_cn",
+    "golden_closed_loop_cn_implicit",
     "golden_closed_loop_implicit",
     "nullspace_basis",
     "reduce_dae",

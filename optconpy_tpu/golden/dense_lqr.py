@@ -104,6 +104,71 @@ def golden_closed_loop(
     return vs, us, ys
 
 
+def golden_closed_loop_cn(
+    m, a, b, c, alpha: float, dt: float, xs: list, ws, v0
+):
+    """Trapezoid (Crank-Nicolson) forward closed loop, explicit control
+    — oracle for closed_loop_rollout(scheme='cn', feedback='explicit')
+    (SURVEY.md SS2 row 7: the reference's 'IMEX Euler or trapezoid'):
+      K_mid = (K_k + K_{k+1})/2,  u_k = -K_mid v_k + (1/alpha) B^T w_mid
+      (M/dt - A/2) v_{k+1} = (M/dt + A/2) v_k + B u_k
+    """
+    m, a, b, c = map(_dense, (m, a, b, c))
+    nts = len(xs) - 1
+    n = m.shape[0]
+    lhs = m / dt - 0.5 * a
+    lu, piv = sla.lu_factor(lhs)
+    ks = [(b.T @ xs[k] @ m) / alpha for k in range(nts + 1)]
+    vs = np.zeros((nts + 1, n))
+    us = np.zeros((nts, b.shape[1]))
+    ys = np.zeros((nts + 1, c.shape[0]))
+    vs[0] = np.asarray(v0)
+    ys[0] = c @ vs[0]
+    for k in range(nts):
+        k_mid = 0.5 * (ks[k] + ks[k + 1])
+        w_mid = (
+            0.5 * (ws[k] + ws[k + 1]) if ws is not None else np.zeros(n)
+        )
+        us[k] = -(k_mid @ vs[k]) + (b.T @ w_mid) / alpha
+        rhs = m @ vs[k] / dt + 0.5 * (a @ vs[k]) + b @ us[k]
+        vs[k + 1] = sla.lu_solve((lu, piv), rhs)
+        ys[k + 1] = c @ vs[k + 1]
+    return vs, us, ys
+
+
+def golden_closed_loop_cn_implicit(
+    m, a, b, c, alpha: float, dt: float, xs: list, ws, v0
+):
+    """Trapezoid forward loop with the feedback averaged across the
+    step (true CN on the closed-loop operator F = A - B K_mid) —
+    oracle for closed_loop_rollout(scheme='cn', feedback='implicit'):
+      (M/dt - A/2 + B K_mid/2) v+ = (M/dt + A/2 - B K_mid/2) v + B uff
+      u_k = -K_mid (v_k + v_{k+1})/2 + uff,  uff = (1/alpha) B^T w_mid
+    """
+    m, a, b, c = map(_dense, (m, a, b, c))
+    nts = len(xs) - 1
+    n = m.shape[0]
+    ks = [(b.T @ xs[k] @ m) / alpha for k in range(nts + 1)]
+    vs = np.zeros((nts + 1, n))
+    us = np.zeros((nts, b.shape[1]))
+    ys = np.zeros((nts + 1, c.shape[0]))
+    vs[0] = np.asarray(v0)
+    ys[0] = c @ vs[0]
+    for k in range(nts):
+        k_mid = 0.5 * (ks[k] + ks[k + 1])
+        w_mid = (
+            0.5 * (ws[k] + ws[k + 1]) if ws is not None else np.zeros(n)
+        )
+        uff = (b.T @ w_mid) / alpha
+        bk = b @ k_mid
+        lhs = m / dt - 0.5 * a + 0.5 * bk
+        rhs = (m / dt + 0.5 * a - 0.5 * bk) @ vs[k] + b @ uff
+        vs[k + 1] = np.linalg.solve(lhs, rhs)
+        us[k] = -(k_mid @ (0.5 * (vs[k] + vs[k + 1]))) + uff
+        ys[k + 1] = c @ vs[k + 1]
+    return vs, us, ys
+
+
 def golden_closed_loop_implicit(
     m, a, b, c, alpha: float, dt: float, xs: list, ws, v0
 ):

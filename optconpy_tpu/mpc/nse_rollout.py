@@ -258,6 +258,170 @@ def batched_nse_closed_loop_fused(
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("saddle", "l1_pack", "fv", "fp", "vbar"),
+    meta_fields=("dt",),
+)
+@dataclass(frozen=True)
+class NSEMatfreeStepCache:
+    """Matrix-free IMEX step cache — the config-3+ rollout path where
+    the (n+np)^2 saddle factor of NSEStepCache no longer fits
+    (SURVEY.md SS3.4 step contract at large n).
+
+    saddle: single-coefficient SaddleMatfreeCache of
+        [[M/dt - A_stokes + L1, J^T], [J, 0]] (block-Jacobi +
+        pressure-Schur FGMRES over SpMM, solvers/matfree.py);
+    l1_pack: implicitly-treated convection as a sparse pack (ELL /
+        windowed — NEVER densified: (n, n) dense L1 is ~1 GB at 15k).
+    """
+
+    saddle: object  # SaddleMatfreeCache
+    l1_pack: object  # ELL or WindowedDense, (n, n)
+    fv: jax.Array
+    fp: jax.Array
+    vbar: jax.Array
+    dt: float
+
+
+def build_nse_stepper_matfree(
+    np_ops: dict,
+    cond,
+    dt: float,
+    dtype=jnp.float32,
+    scheme: str = "oseen",
+    block: int = 512,
+    m_krylov: int = 30,
+    max_cycles: int = 8,
+    tol: float = 1e-6,
+    kind: str = "auto",
+) -> NSEMatfreeStepCache:
+    """Host-side builder of the matrix-free IMEX step cache (scipy
+    sparse only — no densification at any point)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ..fem.taylor_hood import convection_matrices
+    from ..ops.sparse import ell_from_scipy
+    from ..solvers.matfree import SaddleMatfreeCache
+
+    full = np_ops["full"]
+    m_i = sp.csr_matrix(np_ops["M"])
+    a_stokes_i = sp.csr_matrix(cond.mat_inner(full["A"]))
+    j_i = sp.csr_matrix(np_ops["J"])
+
+    if scheme == "oseen":
+        l1, _ = convection_matrices(full, np_ops["vbar_full"])
+        l1_i = sp.csr_matrix(cond.mat_inner(l1))
+    elif scheme == "explicit":
+        l1_i = sp.csr_matrix(m_i.shape)
+    else:
+        raise ValueError(f"unknown IMEX scheme: {scheme}")
+
+    # F = M/dt - A_stokes + L1: mass coefficient +1/dt (this flips the
+    # Schur sign relative to the ADI pencils — handled by the signed
+    # schur_coeffs in SaddleMatfreeCache).
+    saddle = SaddleMatfreeCache.build(
+        (l1_i - a_stokes_i).tocsr(), m_i, j_i, [1.0 / dt],
+        dtype=dtype, block=block, m_krylov=m_krylov,
+        max_cycles=max_cycles, tol=tol, kind=kind,
+    )
+    return NSEMatfreeStepCache(
+        saddle=saddle,
+        l1_pack=ell_from_scipy(l1_i, pad_to=8, dtype=np.dtype(dtype)),
+        fv=jnp.asarray(cond.mat_bc_rhs(full["A"]), dtype),
+        fp=jnp.asarray(cond.jmat_bc_rhs(full["J"]), dtype),
+        vbar=jnp.asarray(cond.restrict(np_ops["vbar_full"]), dtype),
+        dt=float(dt),
+    )
+
+
+@partial(jax.jit, static_argnames=("feedback",))
+def batched_nse_closed_loop_matfree(
+    sys,
+    conv: ConvKernel,
+    cache: NSEMatfreeStepCache,
+    ks: jax.Array,
+    ws: jax.Array,
+    v0_batch: jax.Array,
+    alpha: float,
+    feedback: str = "explicit",
+):
+    """Matrix-free batched closed loop: lax.scan over time, the WHOLE
+    scenario batch solved as the FGMRES column block of one saddle
+    solve per step (the Krylov recurrences are column-batched, so S
+    scenarios cost the same matvec count as one), warm-started from the
+    previous step's (v, p). Same (vs, us, ys) contract as
+    batched_nse_closed_loop."""
+    bt = sys.b.T
+    vbar = cache.vbar
+    dt = cache.dt
+    n, n_p = cache.saddle.n, cache.saddle.n_p
+    s_batch = v0_batch.shape[0]
+    dtype = v0_batch.dtype
+    fp_cols = jnp.broadcast_to(cache.fp[:, None], (n_p, s_batch))
+
+    def rhs_cols(v, u):
+        # v (S, n), u (S, m) -> (n, S) momentum rhs columns
+        expl = conv.conv_inner_batch(v) - cache.l1_pack.matmat(v.T).T
+        return (
+            sys.mass.matmat(v.T) / dt
+            - expl.T
+            + sys.b @ u.T
+            - cache.fv[:, None]
+        )
+
+    if feedback == "implicit":
+        gmat = cache.saddle.apply(
+            sys.b, jnp.zeros((n_p, sys.m_in), dtype)
+        )  # (n, m), constant across steps
+        eye_m = jnp.eye(sys.m_in, dtype=dtype)
+
+        def step(carry, inp):
+            v, v_prev_sol, p_prev_sol = carry
+            k_gain, w_k = inp
+            uff = (bt @ w_k) / alpha + k_gain @ vbar  # (m,)
+            u_cols = jnp.broadcast_to(
+                uff[:, None], (sys.m_in, s_batch)
+            ).T
+            x0_sol, p_sol = cache.saddle.apply_full(
+                rhs_cols(v, u_cols), fp_cols,
+                x0=(v_prev_sol, p_prev_sol),
+            )
+            s_small = eye_m + k_gain @ gmat
+            corr = jnp.linalg.solve(s_small, k_gain @ x0_sol)
+            v_next_cols = x0_sol - gmat @ corr
+            v_next = v_next_cols.T
+            u = -(v_next - vbar) @ k_gain.T + (bt @ w_k) / alpha
+            return (v_next, v_next_cols, p_sol), (v_next, u)
+
+    else:
+
+        def step(carry, inp):
+            v, v_prev_sol, p_prev_sol = carry
+            k_gain, w_k = inp
+            u = -(v - vbar) @ k_gain.T + (bt @ w_k) / alpha
+            v_next_cols, p_sol = cache.saddle.apply_full(
+                rhs_cols(v, u), fp_cols, x0=(v_prev_sol, p_prev_sol),
+            )
+            v_next = v_next_cols.T
+            return (v_next, v_next_cols, p_sol), (v_next, u)
+
+    init = (
+        v0_batch,
+        v0_batch.T,
+        jnp.zeros((n_p, s_batch), dtype),
+    )
+    _, (vs_tail, us) = jax.lax.scan(step, init, (ks[:-1], ws[:-1]))
+    vs = jnp.concatenate([v0_batch[None], vs_tail], axis=0)
+    ys = vs @ sys.c.T
+    return (
+        jnp.swapaxes(vs, 0, 1),
+        jnp.swapaxes(us, 0, 1),
+        jnp.swapaxes(ys, 0, 1),
+    )
+
+
 def build_nse_step_cache(
     m_dense: jax.Array,
     a_stokes_dense: jax.Array,
@@ -350,13 +514,18 @@ def batched_nse_closed_loop(
     cache bakes dt into pmat/c0 at build time, so the passed dt must
     match the build dt (checked here: silent mismatch = wrong dynamics).
     """
-    if isinstance(cache, NSEFusedCache):
+    if isinstance(cache, (NSEFusedCache, NSEMatfreeStepCache)):
         if abs(cache.dt - dt) > 1e-12 * max(abs(dt), 1e-30):
             raise ValueError(
-                f"dt={dt} disagrees with NSEFusedCache build dt="
-                f"{cache.dt}; rebuild the cache for this dt"
+                f"dt={dt} disagrees with {type(cache).__name__} build "
+                f"dt={cache.dt}; rebuild the cache for this dt"
             )
-        return batched_nse_closed_loop_fused(
+        dispatch = (
+            batched_nse_closed_loop_fused
+            if isinstance(cache, NSEFusedCache)
+            else batched_nse_closed_loop_matfree
+        )
+        return dispatch(
             sys, conv, cache, ks, ws, v0_batch, alpha, feedback
         )
     return jax.vmap(

@@ -4,11 +4,23 @@ The reference's implied loop (SURVEY.md SS1 item 4): at each macro step,
 re-linearize the NSE about the current nominal state, update the
 Riccati gains over the prediction horizon (warm-started from the
 previous macro step), roll the scenario batch forward under the new
-feedback, shift the horizon. The TPU redesign keeps the whole inner
-machinery jitted (device re-linearization via ConvKernel.linearized_dense,
-DRE sweep, batched rollouts); the macro loop is a short Python loop
-because each iteration rebuilds factorizations (new linearization =>
-new LUs) — the honest cost structure of nonlinear MPC.
+feedback, shift the horizon. The inner machinery (DRE Newton-ADI,
+batched rollouts) stays jitted and compiles ONCE across macro steps;
+the macro loop is a short Python loop because each iteration rebuilds
+solver caches about the new linearization point — the honest cost
+structure of nonlinear MPC, and it DOES cross to the host each macro
+step (re-linearization + preconditioner/factor setup are host work by
+design; see solver options below).
+
+Two rebuild paths, chosen by RHConfig.solver:
+  * 'lu' — device re-linearization (ConvKernel.linearized_dense) +
+    dense saddle LUs per shift. O((n+np)^2) memory x n_shifts; fine at
+    toy scale, dominated by host getrf beyond ~5k dofs.
+  * 'matfree' — host sparse re-linearization (fem.taylor_hood
+    convection_matrices) + SaddleMatfreeCache rebuilds (block-Jacobi
+    inverses + SpMM packs, solvers/matfree.py). No O((n+np)^2) object
+    anywhere; setup is seconds at config-4 scale. This is the path the
+    config-4 macro-step benchmark times (scripts/bench_receding.py).
 """
 from __future__ import annotations
 
@@ -35,6 +47,10 @@ class RHConfig:
     n_newton: int = 1
     r_max: int = 32
     relinearize: bool = True
+    solver: str = "lu"  # 'lu' (dense caches) or 'matfree'
+    fgmres_tol: float = 1e-6
+    fgmres_cycles: int = 8
+    kind: str = "auto"  # matfree SpMM pack: 'windowed' | 'ell' | 'auto'
 
 
 def _rebuild_caches(
@@ -64,6 +80,46 @@ def _rebuild_caches(
     return stepper_lu, l1_i, dre_cache
 
 
+def _rebuild_caches_matfree(
+    np_ops: dict, cond, vnom_free, cfg: RHConfig, sig, dtype,
+):
+    """Host-side sparse re-linearization + matrix-free cache rebuild
+    for one macro step (no O((n+np)^2) object is ever formed).
+
+    Returns (NSEMatfreeStepCache, dre SaddleMatfreeCache)."""
+    import scipy.sparse as sp
+
+    from ..fem.taylor_hood import convection_matrices
+    from ..solvers.matfree import SaddleMatfreeCache
+    from .nse_rollout import build_nse_stepper_matfree
+
+    full = np_ops["full"]
+    ns2 = full["M"].shape[0]
+    vnom_full = np.zeros(ns2)
+    vnom_full[cond.dirichlet] = cond.g
+    vnom_full[cond.free] = np.asarray(vnom_free, dtype=np.float64)
+
+    np_macro = dict(np_ops, vbar_full=vnom_full)
+    stepper = build_nse_stepper_matfree(
+        np_macro, cond, cfg.dt, dtype=dtype,
+        tol=cfg.fgmres_tol, max_cycles=cfg.fgmres_cycles, kind=cfg.kind,
+    )
+
+    l1, l2 = convection_matrices(full, vnom_full)
+    a_lin = sp.csr_matrix(
+        cond.mat_inner(full["A"] - l1 - l2)
+    )
+    m_sp = sp.csr_matrix(np_ops["M"])
+    j_sp = sp.csr_matrix(np_ops["J"])
+    c = 1.0 / (2.0 * cfg.dt)
+    dre_cache = SaddleMatfreeCache.build(
+        (a_lin.T - c * m_sp).tocsr(), m_sp, j_sp, np.asarray(sig),
+        schur_offset=-c, dtype=dtype,
+        tol=cfg.fgmres_tol, max_cycles=cfg.fgmres_cycles, kind=cfg.kind,
+    )
+    return stepper, dre_cache
+
+
 def receding_horizon_mpc(
     sys,
     conv: ConvKernel,
@@ -76,13 +132,18 @@ def receding_horizon_mpc(
     v0_batch: jax.Array,
     n_macro: int,
     metrics=None,
+    profile: bool = False,
 ):
     """Run n_macro receding-horizon macro steps; returns dict of
     trajectories (vs (S, n_macro*apply+1, n)), inputs, gains history.
 
     sys: DAESystem at the INITIAL linearization (mass/b/c reused; the
-    stiff part is re-linearized on device each macro step).
+    stiff part is re-linearized each macro step per cfg.solver).
+    profile: insert device barriers and record per-macro-step wall
+    times {rebuild, dre, rollout} under result['timings'] — the
+    config-4 cost breakdown (scripts/bench_receding.py).
     """
+    import time as _time
     dtype = sys.b.dtype
     n, m = sys.b.shape
     m_d, _, j_d = sys.dense()
@@ -99,19 +160,37 @@ def receding_horizon_mpc(
     vs_hist = [v_batch]
     us_hist = []
     ks_hist = []
+    timings = []
     vnom = vbar0
 
     for macro in range(n_macro):
+        t_macro0 = _time.time()
         # vnom is ONLY the linearization point for the operators; the
         # feedback setpoint stays the target vbar0 — regulating to the
         # moving batch mean would pin the batch wherever it happens to
         # be (cheap-control gains enforce the setpoint aggressively).
         if cfg.relinearize:
             vnom = jnp.mean(v_batch, axis=0)
-        stepper_lu, l1_i, dre_cache = _rebuild_caches(
-            m_d, a_stokes_d, j_d, conv, cond_free, vnom,
-            conv.dir_values, cfg, sig, dtype,
-        )
+        if cfg.solver == "matfree":
+            import dataclasses
+
+            stepper, dre_cache = _rebuild_caches_matfree(
+                np_ops, cond, np.asarray(vnom), cfg, sig, dtype,
+            )
+            # Linearize about vnom, but regulate to the target vbar0.
+            cache = dataclasses.replace(stepper, vbar=vbar0)
+        else:
+            stepper_lu, l1_i, dre_cache = _rebuild_caches(
+                m_d, a_stokes_d, j_d, conv, cond_free, vnom,
+                conv.dir_values, cfg, sig, dtype,
+            )
+            cache = NSEStepCache(
+                lu=stepper_lu, l1_imp=l1_i, fv=fv, fp=fp, vbar=vbar0
+            )
+        if profile:
+            jax.block_until_ready(jax.tree.leaves(cache))
+            t_rebuild = _time.time() - t_macro0
+            t_dre0 = _time.time()
         zs, ks = dre_backward_sweep(
             sys, dre_cache, cfg.alpha, cfg.dt, cfg.horizon,
             jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
@@ -120,10 +199,10 @@ def receding_horizon_mpc(
         k_now = ks[0]
         k_prev = k_now
         ks_hist.append(k_now)
-
-        cache = NSEStepCache(
-            lu=stepper_lu, l1_imp=l1_i, fv=fv, fp=fp, vbar=vbar0
-        )
+        if profile:
+            jax.block_until_ready(k_now)
+            t_dre = _time.time() - t_dre0
+            t_roll0 = _time.time()
         ks_roll = jnp.broadcast_to(k_now, (cfg.apply + 1, m, n))
         ws = jnp.zeros((cfg.apply + 1, n), dtype)
         vs, us, _ = batched_nse_closed_loop(
@@ -133,6 +212,14 @@ def receding_horizon_mpc(
         v_batch = vs[:, -1]
         vs_hist.append(vs[:, 1:])
         us_hist.append(us)
+        if profile:
+            jax.block_until_ready(v_batch)
+            timings.append({
+                "rebuild_s": t_rebuild,
+                "dre_s": t_dre,
+                "rollout_s": _time.time() - t_roll0,
+                "total_s": _time.time() - t_macro0,
+            })
         if metrics is not None:
             metrics.log(
                 "mpc_macro_step",
@@ -147,9 +234,12 @@ def receding_horizon_mpc(
         [vs_hist[0][:, None, :]] + vs_hist[1:], axis=1
     )
     us_all = jnp.concatenate(us_hist, axis=1)
-    return {
+    out = {
         "vs": vs_all,
         "us": us_all,
         "ks": jnp.stack(ks_hist),
         "v_final": v_batch,
     }
+    if profile:
+        out["timings"] = timings
+    return out

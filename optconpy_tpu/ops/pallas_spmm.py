@@ -385,7 +385,8 @@ def spmm(a, x: jax.Array) -> jax.Array:
     ops.sparse.ELL (einsum oracle/fallback).
     """
     if isinstance(a, (WindowedDense, WindowedELL)):
-        backend = jax.default_backend()
+        dd = jax.config.jax_default_device
+        backend = dd.platform if dd is not None else jax.default_backend()
         if backend == "tpu":
             return a.matmat(x)
         # Interpreter fallback keeps CPU tests meaningful.

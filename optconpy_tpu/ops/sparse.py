@@ -114,4 +114,9 @@ def ell_to_scipy(a: ELL):
         (data.ravel(), (rows, cols.ravel())), shape=(m, n)
     )
     mat.sum_duplicates()
-    return mat.tocsr()
+    mat = mat.tocsr()
+    # Drop the ELL padding slots (explicit zeros at column 0): leaving
+    # them makes every row "touch" column 0, which inflates the
+    # windowed-SpMM column windows to full matrix width downstream.
+    mat.eliminate_zeros()
+    return mat

@@ -6,6 +6,7 @@ from .shifts import (
     cycled_shifts,
     dre_shifted_interval,
 )
+from .are import solve_are_stabilized
 from .bernoulli import stabilizing_gain_dae, stabilizing_gain_reduced
 from .lyap_adi import lowrank_adi, lyap_residual_norm
 from .newton_kleinman import newton_adi_are, gain_from_factor
@@ -15,6 +16,7 @@ from .dre import (
     build_dre_cache,
     build_dre_cache_dae,
     build_dre_cache_dae_krylov,
+    build_dre_cache_dae_matfree,
     dre_backward_sweep,
 )
 
@@ -24,11 +26,13 @@ __all__ = [
     "dre_shift_schedule_dae",
     "build_dre_cache_dae",
     "build_dre_cache_dae_krylov",
+    "build_dre_cache_dae_matfree",
     "wachspress_shifts",
     "cycled_shifts",
     "dre_shifted_interval",
     "lowrank_adi",
     "lyap_residual_norm",
+    "solve_are_stabilized",
     "stabilizing_gain_dae",
     "stabilizing_gain_reduced",
     "newton_adi_are",

@@ -15,8 +15,6 @@ lax.scan over timesteps with static (n, r_max) factor buffers.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,10 +132,37 @@ def build_dre_cache_dae_krylov(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("nts", "n_newton", "r_max"),
-)
+def build_dre_cache_dae_matfree(
+    sys, dt: float, sig: np.ndarray, dtype=jnp.float32,
+    block: int = 512, m_krylov: int = 30, max_cycles: int = 8,
+    tol: float = 1e-6, kind: str = "auto",
+):
+    """Matrix-free DRE cache: block-Jacobi + pressure-Schur FGMRES over
+    Pallas SpMM (solvers/matfree.py) — NO O((n+np)^2) factor anywhere.
+    The config-3+ path: setup is seconds where the reference-LU caches
+    took tens of minutes of host getrf at n+np ~ 17k.
+
+    The implicit-Euler time shift -1/(2 dt) is folded into Atil for the
+    solves and passed as schur_offset so the pressure preconditioner
+    sees the TOTAL signed mass coefficient sigma - 1/(2 dt).
+    """
+    import scipy.sparse as sp
+
+    from ..ops.sparse import ell_to_scipy
+    from ..solvers.matfree import SaddleMatfreeCache
+
+    m_sp = ell_to_scipy(sys.mass)
+    a_sp = ell_to_scipy(sys.stiff)
+    j_sp = ell_to_scipy(sys.jmat)
+    c = 1.0 / (2.0 * dt)
+    at_til = (a_sp.T - c * m_sp).tocsr()
+    return SaddleMatfreeCache.build(
+        at_til, m_sp, j_sp, np.asarray(sig), schur_offset=-c,
+        dtype=dtype, block=block, m_krylov=m_krylov,
+        max_cycles=max_cycles, tol=tol, kind=kind,
+    )
+
+
 def dre_backward_sweep(
     sys: LTISystem,
     cache: ShiftedLUCache,
@@ -161,21 +186,30 @@ def dre_backward_sweep(
     step's gain, so n_newton = 1-2 suffices (SURVEY.md SS3.1). k_init
     seeds the TERMINAL step's Newton (receding-horizon MPC passes the
     previous macro-step's gain; terminal factor stays 0).
+
+    The time loop runs on the HOST around the single jitted
+    newton_adi_are — deliberately NOT a lax.scan: (a) one compile of the
+    Newton-ADI body serves every timestep, macro step, and bench config
+    (the scan version recompiled a 4-deep loop nest per (nts, cache)
+    signature, 276-395 s cold in round 1); (b) Pallas SpMM kernels
+    (matfree cache) inside scan(nts){scan(newton){scan(adi){while}}}
+    crashed the TPU runtime — one nesting level fewer is stable, and
+    the per-step dispatch cost (~ms) is noise against the sweep.
     """
     n, m = sys.b.shape
     dtype = sys.b.dtype
-    inv_sqrt_dt = 1.0 / jnp.sqrt(jnp.asarray(dt, dtype))
+    inv_sqrt_dt = 1.0 / float(np.sqrt(dt))
 
-    z_terminal = jnp.zeros((n, r_max), dtype)
-    k_terminal = (
+    z = jnp.zeros((n, r_max), dtype)
+    k = (
         jnp.zeros((m, n), dtype) if k_init is None
         else jnp.asarray(k_init, dtype)
     )
-
-    def step(carry, _):
-        z_next, k_next = carry
-        w_extra = sys.mass.matmat(z_next) * inv_sqrt_dt
-        z_k, k_k = newton_adi_are(
+    zs = [z]  # backward order: [terminal, X_{nts-1}, ..., X_0]
+    ks = [k]
+    for _ in range(nts):
+        w_extra = sys.mass.matmat(z) * inv_sqrt_dt
+        z, k = newton_adi_are(
             sys,
             cache,
             alpha,
@@ -183,21 +217,11 @@ def dre_backward_sweep(
             idx_seq,
             n_newton=n_newton,
             out_rank=r_max,
-            k0=k_next,
+            k0=k,
             w_extra=w_extra,
             extra_w_cols=r_max,
             compress_rtol=compress_rtol,
         )
-        return (z_k, k_k), (z_k, k_k)
-
-    (_, _), (zs_rev, ks_rev) = jax.lax.scan(
-        step, (z_terminal, k_terminal), None, length=nts
-    )
-    # scan emitted [X_{nts-1}, ..., X_0]; flip and append terminal.
-    zs = jnp.concatenate(
-        [jnp.flip(zs_rev, axis=0), z_terminal[None]], axis=0
-    )
-    ks = jnp.concatenate(
-        [jnp.flip(ks_rev, axis=0), k_terminal[None]], axis=0
-    )
-    return zs, ks
+        zs.append(z)
+        ks.append(k)
+    return jnp.stack(zs[::-1]), jnp.stack(ks[::-1])

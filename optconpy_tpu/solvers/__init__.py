@@ -3,8 +3,10 @@ from .krylov import (
     SaddleShiftedKrylovCache,
     ShiftedKrylovCache,
     cg,
+    fgmres,
     gmres,
 )
+from .matfree import SaddleMatfreeCache
 from .saddle import (
     SaddleInverse,
     SaddleShiftedInverseCache,
@@ -17,6 +19,8 @@ from .shifted import ShiftedInverseCache, ShiftedLUCache
 __all__ = [
     "SaddleInverse",
     "SaddleLU",
+    "SaddleMatfreeCache",
+    "fgmres",
     "SaddleShiftedInverseCache",
     "SaddleShiftedKrylovCache",
     "SaddleShiftedLUCache",

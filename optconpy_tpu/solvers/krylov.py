@@ -156,6 +156,57 @@ def gmres(
     return (x[:, 0], res[0]) if squeeze else (x, res)
 
 
+def fgmres(
+    matvec,
+    b: jax.Array,
+    precond=None,
+    m: int = 30,
+    tol: float = 1e-6,
+    max_cycles: int = 8,
+    x0: jax.Array | None = None,
+):
+    """Restarted flexible GMRES: gmres(m) cycles under lax.while_loop.
+
+    The single-cycle `gmres` above stores every preconditioned basis
+    vector explicitly (that is what makes it FLEXIBLE — inner iterative
+    preconditioners are admissible), so restarting it is the standard
+    FGMRES(m). The while_loop gives a tolerance-driven dynamic cycle
+    count under jit: easy (mass-dominated) shifted systems stop after
+    one cycle, hard ones run up to max_cycles (solvers/matfree.py is
+    the main consumer — its block-preconditioned saddle solves need
+    15-120 total iterations depending on the shift).
+
+    b: (n,) or (n, q). Stops when EVERY column's relative residual
+    drops below tol (zero columns count as converged). Returns
+    (x, relres) with relres the final max column-relative residual.
+    """
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    dtype = b.dtype
+    bnorm = jnp.sqrt(_dotcols(b, b))
+    safe = jnp.maximum(bnorm, jnp.asarray(1e-30, dtype))
+    x_init = jnp.zeros_like(b) if x0 is None else (
+        x0[:, None] if squeeze else x0
+    )
+
+    def cond_fn(carry):
+        _, rel, c = carry
+        return jnp.logical_and(c < max_cycles, rel > tol)
+
+    def body_fn(carry):
+        x, _, c = carry
+        x_new, res = gmres(matvec, b, x0=x, n_iter=m, precond=precond)
+        rel = jnp.max(res / safe)
+        return (x_new, rel, c + 1)
+
+    x, rel, _ = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (x_init, jnp.asarray(jnp.inf, dtype), jnp.int32(0)),
+    )
+    return (x[:, 0], rel) if squeeze else (x, rel)
+
+
 def _pick_references(shifts_np, n_ref: int):
     """Log-spaced reference shifts + nearest-reference index per shift.
 

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Config 4 (BASELINE.md): cylinder-wake Re=100 receding-horizon MPC,
+1024 batched scenario rollouts, one TPU chip — the REAL macro loop
+(re-linearize about the batch mean, rebuild solver caches, warm-started
+DRE gain update, apply window), not the frozen-gain proxy bench.py
+times for the headline throughput metric (VERDICT r1 item 4).
+
+Reports s/macro-step with the honest cost breakdown {rebuild (host
+re-linearization + matfree cache setup), DRE sweep, rollout} and
+writes RECEDING_r02.json. Run:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_receding.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+RE = 100.0
+REFINEMENT = 1
+S_BATCH = 1024
+N_MACRO = 4
+DT = 0.005
+ALPHA = 1e-2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from optconpy_tpu import utils
+    from optconpy_tpu.fem.device_conv import ConvKernel
+    from optconpy_tpu.models.cylinder import cylinder_setup
+    from optconpy_tpu.mpc import RHConfig, receding_horizon_mpc
+    from optconpy_tpu.riccati import dre_shift_schedule_dae
+
+    utils.setup()
+    dtype = jnp.float32
+    log(f"device: {jax.devices()[0].device_kind}")
+
+    t0 = time.time()
+    np_ops, sys64, cond = cylinder_setup(re=RE, refinement=REFINEMENT)
+    sys = sys64.astype(dtype)
+    conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
+    n, m = sys.b.shape
+    log(f"setup {time.time() - t0:.1f}s: n={n}")
+
+    cfg = RHConfig(
+        horizon=8, apply=8, dt=DT, alpha=ALPHA, n_newton=1, r_max=32,
+        solver="matfree",
+    )
+    sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"], DT,
+        num_shifts=8, n_adi=16,
+    )
+
+    rng = np.random.default_rng(0)
+    vbar = cond.restrict(np_ops["vbar_full"])
+    v0 = jnp.asarray(
+        vbar[None] + 1e-3 * rng.standard_normal((S_BATCH, n)), dtype
+    )
+
+    # Warm-up run (1 macro step): compiles the Newton-ADI body and the
+    # batched matfree rollout; those compiles are shared by ALL later
+    # macro steps (dre_backward_sweep hosts its time loop).
+    t0 = time.time()
+    receding_horizon_mpc(
+        sys, conv, np_ops, cond, cfg, sig, sigma_seq, idx_seq,
+        v0, n_macro=1,
+    )
+    log(f"warm-up macro step (incl compiles) {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out = receding_horizon_mpc(
+        sys, conv, np_ops, cond, cfg, sig, sigma_seq, idx_seq,
+        v0, n_macro=N_MACRO, profile=True,
+    )
+    t_total = time.time() - t0
+    vs = np.asarray(out["vs"])
+    assert np.isfinite(vs).all()
+
+    tm = out["timings"]
+    mean = {
+        k: float(np.mean([t[k] for t in tm]))
+        for k in ("rebuild_s", "dre_s", "rollout_s", "total_s")
+    }
+    for i, t in enumerate(tm):
+        log(
+            f"macro {i}: rebuild {t['rebuild_s']:.2f}s, "
+            f"dre {t['dre_s']:.2f}s, rollout {t['rollout_s']:.2f}s, "
+            f"total {t['total_s']:.2f}s"
+        )
+
+    d0 = np.linalg.norm(vs[:, 0] - vbar[None], axis=1).mean()
+    dT = np.linalg.norm(vs[:, -1] - vbar[None], axis=1).mean()
+
+    result = {
+        "config": 4,
+        "problem": f"cylinder_re{int(RE)}_ref{REFINEMENT}",
+        "n_state": int(n),
+        "scenarios": S_BATCH,
+        "n_macro": N_MACRO,
+        "horizon": cfg.horizon,
+        "apply": cfg.apply,
+        "solver": "matfree",
+        "s_per_macro_step": round(mean["total_s"], 3),
+        "macro_steps_per_s": round(1.0 / mean["total_s"], 4),
+        "breakdown_s": {
+            "rebuild": round(mean["rebuild_s"], 3),
+            "dre": round(mean["dre_s"], 3),
+            "rollout": round(mean["rollout_s"], 3),
+        },
+        "perturbation_decay": round(float(dT / d0), 4),
+        "wall_total_s": round(t_total, 1),
+    }
+    with open("/root/repo/RECEDING_r02.json", "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

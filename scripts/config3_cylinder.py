@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Config 3 (BASELINE.md): linearized cylinder-wake Re=60, ~15k dofs,
-low-rank ADI/DRE Riccati feedback, one TPU chip.
+low-rank ADI/DRE Riccati feedback, one TPU chip — on the MATRIX-FREE
+path (solvers/matfree.py): block-Jacobi + pressure-Schur FGMRES over
+Pallas SpMM; no O((n+np)^2) factor is ever formed (the round-1 dense
+reference-LU cache needed 2.4 GB getrf's that ran past the round
+budget on the 2-vCPU host — see VERDICT r1 item 3).
 
 Validation at this size is residual/behavioral (no dense golden is
 feasible at 15k): constraint feasibility of the Riccati factors, finite
 gains, and the controlled rollout suppressing the wake perturbation
-energy relative to the uncontrolled one. Run:
+energy relative to the uncontrolled one. Writes CONFIG3_r02.json. Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/config3_cylinder.py
 """
@@ -31,8 +35,8 @@ ALPHA = 1e-4
 R_MAX = 40
 N_SHIFTS = 12
 N_ADI = 16
-GMRES_ITERS = 24
 S_BATCH = 16
+FGMRES_TOL = 1e-6
 
 
 def main():
@@ -42,9 +46,12 @@ def main():
     from optconpy_tpu import utils
     from optconpy_tpu.fem.device_conv import ConvKernel
     from optconpy_tpu.models.cylinder import cylinder_setup
-    from optconpy_tpu.mpc import batched_nse_closed_loop, build_nse_stepper
+    from optconpy_tpu.mpc import (
+        batched_nse_closed_loop,
+        build_nse_stepper_matfree,
+    )
     from optconpy_tpu.riccati import (
-        build_dre_cache_dae_krylov,
+        build_dre_cache_dae_matfree,
         dre_backward_sweep,
         dre_shift_schedule_dae,
         spectral_interval,
@@ -82,11 +89,14 @@ def main():
     )
 
     t0 = time.time()
-    cache = build_dre_cache_dae_krylov(
-        sysd, DT, sig, dtype=dtype, n_iter=GMRES_ITERS, n_ref=2
+    cache = build_dre_cache_dae_matfree(
+        sysd, DT, sig, dtype=dtype, tol=FGMRES_TOL, max_cycles=8
     )
-    jax.block_until_ready(cache.lu)
-    log(f"krylov cache (2 ref LUs of {n + sysd.n_p}) {time.time() - t0:.1f}s")
+    jax.block_until_ready(cache.bj_inv)
+    log(
+        f"matfree cache (block-Jacobi {cache.block}, "
+        f"pack {type(cache.at_pack).__name__}) {time.time() - t0:.1f}s"
+    )
 
     t0 = time.time()
     zs, ks = dre_backward_sweep(
@@ -108,7 +118,9 @@ def main():
 
     # Closed loop vs uncontrolled: perturbation energy at T.
     conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
-    stepper = build_nse_stepper(np_ops, cond, DT, dtype=dtype)
+    stepper = build_nse_stepper_matfree(
+        np_ops, cond, DT, dtype=dtype, tol=FGMRES_TOL, max_cycles=10
+    )
     ks_roll = jnp.broadcast_to(k0, (NTS_ROLL + 1, m, n))
     ws = jnp.zeros((NTS_ROLL + 1, n), dtype)
     rng = np.random.default_rng(0)
@@ -144,6 +156,7 @@ def main():
         "config": 3,
         "problem": f"cylinder_re{int(RE)}_ref{REFINEMENT}",
         "n_state": int(n),
+        "solver": "matfree_fgmres_blockjacobi_schur",
         "feasibility_JZ": feas,
         "energy_ratio_T": ratio,
         "adi_iters_per_s_incl_compile": round(adi_per_s, 3),
@@ -151,6 +164,8 @@ def main():
         "rollout_s": round(t_roll, 2),
         "finite": bool(np.isfinite(np.asarray(vs_c)).all()),
     }
+    with open("/root/repo/CONFIG3_r02.json", "w") as f:
+        json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 

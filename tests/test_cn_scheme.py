@@ -1,0 +1,118 @@
+"""Trapezoid (Crank-Nicolson) time stepping (SURVEY.md SS2 row 7:
+'IMEX Euler or trapezoid'; VERDICT r1 item 6): fixed-point parity with
+the dense golden, second-order convergence, and the measured dt
+advantage over implicit Euler.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from optconpy_tpu.fem import heat1d_operators
+from optconpy_tpu.golden import (
+    golden_are,
+    golden_closed_loop_cn,
+    golden_closed_loop_cn_implicit,
+)
+from optconpy_tpu.mpc import build_step_cache, closed_loop_rollout
+
+ALPHA = 1e-2
+T_END = 0.2  # short horizon keeps ||v_exact|| healthy (heat decay)
+
+
+@pytest.fixture(scope="module")
+def heat():
+    np_ops, sys = heat1d_operators(n=64)
+    x = golden_are(np_ops["M"], np_ops["A"], np_ops["B"], np_ops["C"],
+                   ALPHA)
+    return np_ops, sys, x
+
+
+def _run_device(sys, np_ops, x, dt, nts, scheme, feedback, v0=None):
+    n = sys.n
+    m_d = np_ops["M"].toarray()
+    k = jnp.asarray((np.asarray(sys.b).T @ x @ m_d) / ALPHA)
+    ks = jnp.broadcast_to(k, (nts + 1,) + k.shape)
+    ws = jnp.zeros((nts + 1, n))
+    if v0 is None:
+        rng = np.random.default_rng(0)
+        v0 = rng.standard_normal(n)
+    v0 = jnp.asarray(v0)
+    cache = build_step_cache(sys, dt, scheme=scheme)
+    vs, us, ys = closed_loop_rollout(
+        sys, cache, ks, ws, v0, ALPHA, dt, feedback=feedback,
+        scheme=scheme,
+    )
+    return np.asarray(vs), np.asarray(us), np.asarray(v0)
+
+
+@pytest.mark.parametrize("feedback", ["explicit", "implicit"])
+def test_cn_fixed_point_matches_golden(heat, feedback):
+    """Device CN loop == dense f64 golden CN loop, step for step."""
+    np_ops, sys, x = heat
+    dt, nts = 0.05, 20
+    vs_d, us_d, v0 = _run_device(sys, np_ops, x, dt, nts, "cn", feedback)
+    gold = (
+        golden_closed_loop_cn if feedback == "explicit"
+        else golden_closed_loop_cn_implicit
+    )
+    vs_g, us_g, _ = gold(
+        np_ops["M"], np_ops["A"], np_ops["B"], np_ops["C"], ALPHA, dt,
+        [x] * (nts + 1), None, v0,
+    )
+    assert np.abs(vs_d - vs_g).max() < 1e-10 * max(np.abs(vs_g).max(), 1)
+    assert np.abs(us_d - us_g).max() < 1e-10 * max(np.abs(us_g).max(), 1)
+
+
+def _exact_endpoint(np_ops, x, v0, t_end):
+    """Exact closed-loop flow: v(T) = expm(M^{-1} F T) v0."""
+    m_d = np_ops["M"].toarray()
+    a_d = np_ops["A"].toarray()
+    b_d = np.asarray(np_ops["B"].toarray() if hasattr(
+        np_ops["B"], "toarray") else np_ops["B"])
+    k = (b_d.T @ x @ m_d) / ALPHA
+    f = np.linalg.solve(m_d, a_d - b_d @ k)
+    return sla.expm(f * t_end) @ v0
+
+
+def _smooth_v0(n):
+    """Resolved (smooth) initial data: CN's A-stability leaves
+    UNRESOLVED stiff modes undamped (|R(z)| -> 1 as z -> -inf), so a
+    convergence-order measurement must start from data the time grid
+    can represent — the classical CN caveat, not a solver defect."""
+    xg = np.linspace(0.0, 1.0, n + 2)[1:-1]
+    return np.sin(np.pi * xg) + 0.3 * np.sin(2 * np.pi * xg)
+
+
+def _endpoint_error(heat, dt, scheme):
+    np_ops, sys, x = heat
+    nts = int(round(T_END / dt))
+    v0 = _smooth_v0(sys.n)
+    vs, _, _ = _run_device(
+        sys, np_ops, x, dt, nts, scheme, "implicit", v0=v0
+    )
+    v_exact = _exact_endpoint(np_ops, x, v0, T_END)
+    return np.linalg.norm(vs[-1] - v_exact) / np.linalg.norm(v_exact)
+
+
+def test_cn_is_second_order(heat):
+    """Error ratio under dt halving (asymptotic regime lam*dt << 1):
+    ~2 for Euler, ~4 for CN."""
+    e_cn_1 = _endpoint_error(heat, 0.01, "cn")
+    e_cn_2 = _endpoint_error(heat, 0.005, "cn")
+    e_eu_1 = _endpoint_error(heat, 0.01, "euler")
+    e_eu_2 = _endpoint_error(heat, 0.005, "euler")
+    assert 3.0 < e_cn_1 / e_cn_2 < 5.5, (e_cn_1, e_cn_2)
+    assert 1.7 < e_eu_1 / e_eu_2 < 2.5, (e_eu_1, e_eu_2)
+
+
+def test_cn_dt_advantage(heat):
+    """The VERDICT item's 'measured dt': at dt = 0.002 CN meets the
+    1e-4 north-star fidelity bound while implicit Euler at dt/4 is
+    still ~50x above it (measured table: cn 7.7e-5 @ 2e-3 vs euler
+    5.5e-3 @ 5e-4 — Euler needs ~100x smaller steps for parity)."""
+    dt = 0.002
+    e_cn = _endpoint_error(heat, dt, "cn")
+    e_eu_quarter = _endpoint_error(heat, dt / 4, "euler")
+    assert e_cn < 1e-4, e_cn
+    assert e_eu_quarter > 1e-3, e_eu_quarter

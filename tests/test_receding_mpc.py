@@ -114,3 +114,39 @@ def test_warm_start_reduces_newton_need(cavity):
     k_warm = np.asarray(ks_warm[0])
     rel = np.linalg.norm(k_warm - k_ref) / np.linalg.norm(k_ref)
     assert rel < 5e-2, rel
+
+
+def test_receding_matfree_matches_lu(cavity):
+    """The matrix-free macro loop (sparse host re-linearization +
+    SaddleMatfreeCache rebuilds) reproduces the dense-LU macro loop's
+    trajectories and gains — a strong oracle for the config-4 path."""
+    np_ops, sys64, cond = cavity
+    sys = sys64.astype(jnp.float64)
+    conv = ConvKernel.build(np_ops["full"], cond, dtype=jnp.float64)
+    base = dict(horizon=6, apply=3, dt=0.02, alpha=1e-6, r_max=24)
+    cfg_lu = RHConfig(**base, solver="lu")
+    cfg_mf = RHConfig(
+        **base, solver="matfree", kind="ell",
+        fgmres_tol=1e-11, fgmres_cycles=12,
+    )
+    sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"], base["dt"],
+        num_shifts=6, n_adi=12,
+    )
+    rng = np.random.default_rng(1)
+    vbar = cond.restrict(np_ops["vbar_full"])
+    v0 = jnp.asarray(vbar[None] + 1e-2 * rng.standard_normal((3, sys.n)))
+    out_lu = receding_horizon_mpc(
+        sys, conv, np_ops, cond, cfg_lu, sig, sigma_seq, idx_seq,
+        v0, n_macro=2,
+    )
+    out_mf = receding_horizon_mpc(
+        sys, conv, np_ops, cond, cfg_mf, sig, sigma_seq, idx_seq,
+        v0, n_macro=2,
+    )
+    for key in ("vs", "us", "ks"):
+        a = np.asarray(out_lu[key])
+        b = np.asarray(out_mf[key])
+        scale = np.abs(a - (vbar[None, None] if key == "vs" else 0)).max()
+        rel = np.abs(b - a).max() / max(scale, 1e-30)
+        assert rel < 1e-6, (key, rel)
