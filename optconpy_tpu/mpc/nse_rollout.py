@@ -40,7 +40,7 @@ from ..solvers.saddle import SaddleLU
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("lu", "l1_imp", "fv", "fp", "vbar"),
+    data_fields=("lu", "l1_imp", "fv", "fp", "vbar", "rhs_half"),
     meta_fields=(),
 )
 @dataclass(frozen=True)
@@ -51,7 +51,12 @@ class NSEStepCache:
     l1_imp: (n, n) implicitly-treated convection (zeros => explicit
         scheme — XLA folds the zero matmul away at trace time when the
         caller passes the `explicit` build);
-    fv, fp: BC condensation rhs; vbar: linearization point.
+    fv, fp: BC condensation rhs; vbar: linearization point;
+    rhs_half: None for backward-Euler schemes; for the trapezoid
+        (CNAB2) scheme the explicit half of the linear operator,
+        (A_stokes - L1)/2, applied on the rhs each step (the implicit
+        block then carries M/dt - (A_stokes - L1)/2). Presence of
+        rhs_half selects the scheme in the rollout kernels.
     """
 
     lu: SaddleLU  # or SaddleInverse — any saddle solver with .apply
@@ -59,6 +64,7 @@ class NSEStepCache:
     fv: jax.Array
     fp: jax.Array
     vbar: jax.Array
+    rhs_half: jax.Array | None = None
 
 
 def build_nse_stepper(
@@ -72,7 +78,12 @@ def build_nse_stepper(
     """Host-side builder: assembles the IMEX step cache from the
     cylinder/cavity setup dict (models/*.py) and the BC condenser.
 
-    scheme: 'oseen' (L1(vbar) implicit, default) or 'explicit'.
+    scheme: 'oseen' (L1(vbar) implicit Euler, default), 'explicit'
+    (full convection explicit, Euler), or 'oseen-cn' (trapezoid on the
+    Oseen-linearized part + Adams-Bashforth-2 on the quadratic
+    convection remainder — the CNAB2 scheme; second order, matching
+    the reference's 'IMEX Euler or trapezoid' option, SURVEY.md SS2
+    row 7).
     solver: 'lu' (device triangular solves) or 'inverse' (host-built
     explicit inverse applied as one GEMM — faster per step on the MXU,
     same apply contract; see solvers/saddle.py SaddleInverse).
@@ -88,7 +99,7 @@ def build_nse_stepper(
     j_i = np_ops["J"]
     n = m_i.shape[0]
 
-    if scheme == "oseen":
+    if scheme in ("oseen", "oseen-cn"):
         l1, _ = convection_matrices(full, np_ops["vbar_full"])
         l1_i = cond.mat_inner(l1).toarray()
     elif scheme == "explicit":
@@ -96,7 +107,9 @@ def build_nse_stepper(
     else:
         raise ValueError(f"unknown IMEX scheme: {scheme}")
 
-    imp = m_i.toarray() / dt - a_stokes_i.toarray() + l1_i
+    theta = 0.5 if scheme == "oseen-cn" else 1.0
+    lin = a_stokes_i.toarray() - l1_i  # implicitly-treated linear part
+    imp = m_i.toarray() / dt - theta * lin
     solver_cls = {"lu": SaddleLU, "inverse": SaddleInverse}[solver]
     lu = solver_cls.build(
         jnp.asarray(imp, dtype), jnp.asarray(j_i.toarray(), dtype)
@@ -107,6 +120,10 @@ def build_nse_stepper(
         fv=jnp.asarray(cond.mat_bc_rhs(full["A"]), dtype),
         fp=jnp.asarray(cond.jmat_bc_rhs(full["J"]), dtype),
         vbar=jnp.asarray(cond.restrict(np_ops["vbar_full"]), dtype),
+        rhs_half=(
+            jnp.asarray(0.5 * lin, dtype) if scheme == "oseen-cn"
+            else None
+        ),
     )
 
 
@@ -154,33 +171,35 @@ def build_nse_fused(
     exactly once at the end.
     """
     import numpy as np
-    import scipy.linalg as sla
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
 
     from ..fem.taylor_hood import convection_matrices
 
     full = np_ops["full"]
-    m_i = np.asarray(np_ops["M"].toarray(), dtype=np.float64)
-    a_stokes_i = np.asarray(
-        cond.mat_inner(full["A"]).toarray(), dtype=np.float64
-    )
-    j_i = np.asarray(np_ops["J"].toarray(), dtype=np.float64)
+    m_sp = sp.csr_matrix(np_ops["M"])
+    m_i = np.asarray(m_sp.toarray(), dtype=np.float64)
+    a_stokes_sp = sp.csr_matrix(cond.mat_inner(full["A"]))
+    j_sp = sp.csr_matrix(np_ops["J"])
     n = m_i.shape[0]
-    n_p = j_i.shape[0]
+    n_p = j_sp.shape[0]
 
     if scheme == "oseen":
         l1, _ = convection_matrices(full, np_ops["vbar_full"])
-        l1_i = np.asarray(cond.mat_inner(l1).toarray(), dtype=np.float64)
+        l1_sp = sp.csr_matrix(cond.mat_inner(l1))
     elif scheme == "explicit":
-        l1_i = np.zeros((n, n))
+        l1_sp = sp.csr_matrix((n, n))
     else:
         raise ValueError(f"unknown IMEX scheme: {scheme}")
+    l1_i = np.asarray(l1_sp.toarray(), dtype=np.float64)
 
-    big = np.zeros((n + n_p, n + n_p))
-    big[:n, :n] = m_i / dt - a_stokes_i + l1_i
-    big[:n, n:] = j_i.T
-    big[n:, :n] = j_i
-    lu, piv = sla.lu_factor(big)
-    inv = sla.lu_solve((lu, piv), np.eye(n + n_p))  # stays np.float64
+    # Sparse LU (not dense getrf: ~6x cheaper at n+np ~ 5k on the
+    # deploy VMs), explicit inverse by solving against I. f64 host.
+    big = sp.bmat(
+        [[m_sp / dt - a_stokes_sp + l1_sp, j_sp.T], [j_sp, None]],
+        format="csc",
+    )
+    inv = spla.splu(big).solve(np.eye(n + n_p))  # stays np.float64
     inv_vv = inv[:n, :n]
     inv_vp = inv[:n, n:]
     fv = np.asarray(cond.mat_bc_rhs(full["A"]), dtype=np.float64)
@@ -260,7 +279,7 @@ def batched_nse_closed_loop_fused(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=("saddle", "l1_pack", "fv", "fp", "vbar"),
+    data_fields=("saddle", "l1_pack", "fv", "fp", "vbar", "rhs_half"),
     meta_fields=("dt",),
 )
 @dataclass(frozen=True)
@@ -270,10 +289,13 @@ class NSEMatfreeStepCache:
     (SURVEY.md SS3.4 step contract at large n).
 
     saddle: single-coefficient SaddleMatfreeCache of
-        [[M/dt - A_stokes + L1, J^T], [J, 0]] (block-Jacobi +
-        pressure-Schur FGMRES over SpMM, solvers/matfree.py);
+        [[M/dt - theta (A_stokes - L1), J^T], [J, 0]] (block-Jacobi +
+        pressure-Schur FGMRES over SpMM, solvers/matfree.py; theta = 1
+        Euler, 1/2 trapezoid);
     l1_pack: implicitly-treated convection as a sparse pack (ELL /
-        windowed — NEVER densified: (n, n) dense L1 is ~1 GB at 15k).
+        windowed — NEVER densified: (n, n) dense L1 is ~1 GB at 15k);
+    rhs_half: None (Euler) or the (A_stokes - L1)/2 sparse pack applied
+        on the rhs each CNAB2 step.
     """
 
     saddle: object  # SaddleMatfreeCache
@@ -281,6 +303,7 @@ class NSEMatfreeStepCache:
     fv: jax.Array
     fp: jax.Array
     vbar: jax.Array
+    rhs_half: object  # ELL pack or None
     dt: float
 
 
@@ -310,7 +333,7 @@ def build_nse_stepper_matfree(
     a_stokes_i = sp.csr_matrix(cond.mat_inner(full["A"]))
     j_i = sp.csr_matrix(np_ops["J"])
 
-    if scheme == "oseen":
+    if scheme in ("oseen", "oseen-cn"):
         l1, _ = convection_matrices(full, np_ops["vbar_full"])
         l1_i = sp.csr_matrix(cond.mat_inner(l1))
     elif scheme == "explicit":
@@ -318,11 +341,13 @@ def build_nse_stepper_matfree(
     else:
         raise ValueError(f"unknown IMEX scheme: {scheme}")
 
-    # F = M/dt - A_stokes + L1: mass coefficient +1/dt (this flips the
-    # Schur sign relative to the ADI pencils — handled by the signed
-    # schur_coeffs in SaddleMatfreeCache).
+    # F = M/dt - theta (A_stokes - L1): mass coefficient +1/dt (this
+    # flips the Schur sign relative to the ADI pencils — handled by
+    # the signed schur_coeffs in SaddleMatfreeCache).
+    theta = 0.5 if scheme == "oseen-cn" else 1.0
+    lin = (a_stokes_i - l1_i).tocsr()
     saddle = SaddleMatfreeCache.build(
-        (l1_i - a_stokes_i).tocsr(), m_i, j_i, [1.0 / dt],
+        (-theta * lin).tocsr(), m_i, j_i, [1.0 / dt],
         dtype=dtype, block=block, m_krylov=m_krylov,
         max_cycles=max_cycles, tol=tol, kind=kind,
     )
@@ -332,6 +357,12 @@ def build_nse_stepper_matfree(
         fv=jnp.asarray(cond.mat_bc_rhs(full["A"]), dtype),
         fp=jnp.asarray(cond.jmat_bc_rhs(full["J"]), dtype),
         vbar=jnp.asarray(cond.restrict(np_ops["vbar_full"]), dtype),
+        rhs_half=(
+            ell_from_scipy(
+                (0.5 * lin).tocsr(), pad_to=8, dtype=np.dtype(dtype)
+            )
+            if scheme == "oseen-cn" else None
+        ),
         dt=float(dt),
     )
 
@@ -360,16 +391,23 @@ def batched_nse_closed_loop_matfree(
     s_batch = v0_batch.shape[0]
     dtype = v0_batch.dtype
     fp_cols = jnp.broadcast_to(cache.fp[:, None], (n_p, s_batch))
+    cn = cache.rhs_half is not None
 
-    def rhs_cols(v, u):
+    def q_of(v):
+        # explicit quadratic remainder, batch-first (S, n)
+        return conv.conv_inner_batch(v) - cache.l1_pack.matmat(v.T).T
+
+    def rhs_cols(v, u, q, q_prev):
         # v (S, n), u (S, m) -> (n, S) momentum rhs columns
-        expl = conv.conv_inner_batch(v) - cache.l1_pack.matmat(v.T).T
-        return (
-            sys.mass.matmat(v.T) / dt
-            - expl.T
-            + sys.b @ u.T
-            - cache.fv[:, None]
-        )
+        r = sys.mass.matmat(v.T) / dt + sys.b @ u.T - cache.fv[:, None]
+        if cn:
+            r = (
+                r + cache.rhs_half.matmat(v.T)
+                - (1.5 * q - 0.5 * q_prev).T
+            )
+        else:
+            r = r - q.T
+        return r
 
     if feedback == "implicit":
         gmat = cache.saddle.apply(
@@ -378,14 +416,15 @@ def batched_nse_closed_loop_matfree(
         eye_m = jnp.eye(sys.m_in, dtype=dtype)
 
         def step(carry, inp):
-            v, v_prev_sol, p_prev_sol = carry
+            v, q_prev, v_prev_sol, p_prev_sol = carry
             k_gain, w_k = inp
             uff = (bt @ w_k) / alpha + k_gain @ vbar  # (m,)
             u_cols = jnp.broadcast_to(
                 uff[:, None], (sys.m_in, s_batch)
             ).T
+            q = q_of(v)
             x0_sol, p_sol = cache.saddle.apply_full(
-                rhs_cols(v, u_cols), fp_cols,
+                rhs_cols(v, u_cols, q, q_prev), fp_cols,
                 x0=(v_prev_sol, p_prev_sol),
             )
             s_small = eye_m + k_gain @ gmat
@@ -393,22 +432,25 @@ def batched_nse_closed_loop_matfree(
             v_next_cols = x0_sol - gmat @ corr
             v_next = v_next_cols.T
             u = -(v_next - vbar) @ k_gain.T + (bt @ w_k) / alpha
-            return (v_next, v_next_cols, p_sol), (v_next, u)
+            return (v_next, q, v_next_cols, p_sol), (v_next, u)
 
     else:
 
         def step(carry, inp):
-            v, v_prev_sol, p_prev_sol = carry
+            v, q_prev, v_prev_sol, p_prev_sol = carry
             k_gain, w_k = inp
             u = -(v - vbar) @ k_gain.T + (bt @ w_k) / alpha
+            q = q_of(v)
             v_next_cols, p_sol = cache.saddle.apply_full(
-                rhs_cols(v, u), fp_cols, x0=(v_prev_sol, p_prev_sol),
+                rhs_cols(v, u, q, q_prev), fp_cols,
+                x0=(v_prev_sol, p_prev_sol),
             )
             v_next = v_next_cols.T
-            return (v_next, v_next_cols, p_sol), (v_next, u)
+            return (v_next, q, v_next_cols, p_sol), (v_next, u)
 
     init = (
         v0_batch,
+        q_of(v0_batch),
         v0_batch.T,
         jnp.zeros((n_p, s_batch), dtype),
     )
@@ -455,9 +497,26 @@ def nse_closed_loop_rollout(
     folded into the implicit solve via SMW on the cached saddle LU —
     required when the closed-loop poles exceed 1/dt (cheap control);
     G = lu^-1 B is constant so the extra cost is one (m, m) solve/step.
+
+    A cache built with scheme='oseen-cn' (rhs_half present) runs the
+    CNAB2 trapezoid: rhs gains + (A_stokes - L1)/2 v and the quadratic
+    remainder q(v) = N(v)v - L1 v extrapolates Adams-Bashforth-2
+    (1.5 q_k - 0.5 q_{k-1}; first step CNAB1), second order overall.
     """
     bt = sys.b.T
     vbar = cache.vbar
+    cn = cache.rhs_half is not None
+
+    def q_of(v):
+        return conv.conv_inner(v) - cache.l1_imp @ v
+
+    def rhs_base(v, q, q_prev):
+        r = sys.mass.matvec(v) / dt - cache.fv
+        if cn:
+            r = r + cache.rhs_half @ v - (1.5 * q - 0.5 * q_prev)
+        else:
+            r = r - q
+        return r
 
     if feedback == "implicit":
         n_p = cache.fp.shape[0]
@@ -466,31 +525,32 @@ def nse_closed_loop_rollout(
         )  # (n, m), constant across steps
         eye_m = jnp.eye(sys.m_in, dtype=sys.b.dtype)
 
-        def step(v, inp):
+        def step(carry, inp):
+            v, q_prev = carry
             k_gain, w_k = inp
             uff = (bt @ w_k) / alpha + k_gain @ vbar
-            expl = conv.conv_inner(v) - cache.l1_imp @ v
-            rhs_v = (
-                sys.mass.matvec(v) / dt - expl + sys.b @ uff - cache.fv
-            )
+            q = q_of(v)
+            rhs_v = rhs_base(v, q, q_prev) + sys.b @ uff
             x0 = cache.lu.apply(rhs_v, cache.fp)
             s_small = eye_m + k_gain @ gmat
             corr = jnp.linalg.solve(s_small, k_gain @ x0)
             v_next = x0 - gmat @ corr
             u = -(k_gain @ (v_next - vbar)) + (bt @ w_k) / alpha
-            return v_next, (v_next, u)
+            return (v_next, q), (v_next, u)
 
     else:
 
-        def step(v, inp):
+        def step(carry, inp):
+            v, q_prev = carry
             k_gain, w_k = inp
             u = -(k_gain @ (v - vbar)) + (bt @ w_k) / alpha
-            expl = conv.conv_inner(v) - cache.l1_imp @ v
-            rhs_v = sys.mass.matvec(v) / dt - expl + sys.b @ u - cache.fv
+            q = q_of(v)
+            rhs_v = rhs_base(v, q, q_prev) + sys.b @ u
             v_next = cache.lu.apply(rhs_v, cache.fp)
-            return v_next, (v_next, u)
+            return (v_next, q), (v_next, u)
 
-    _, (vs_tail, us) = jax.lax.scan(step, v0, (ks[:-1], ws[:-1]))
+    q0 = q_of(v0)  # AB2 seed: q_{-1} := q_0 (first step = CNAB1)
+    _, (vs_tail, us) = jax.lax.scan(step, (v0, q0), (ks[:-1], ws[:-1]))
     vs = jnp.concatenate([v0[None], vs_tail], axis=0)
     ys = vs @ sys.c.T
     return vs, us, ys
@@ -550,10 +610,22 @@ def nse_closed_loop_outputs(
     """Memory-lean rollout: constant gain, returns (ys (nts+1, p),
     u_norms (nts,), v_final) WITHOUT storing the state trajectory —
     the sweep-scale kernel (8192 scenarios x long horizons would not
-    fit (S, nts, n) in HBM).
+    fit (S, nts, n) in HBM). Honors the cache's scheme (CNAB2 when
+    rhs_half is present, backward Euler otherwise).
     """
-    bt = sys.b.T
     vbar = cache.vbar
+    cn = cache.rhs_half is not None
+
+    def q_of(v):
+        return conv.conv_inner(v) - cache.l1_imp @ v
+
+    def rhs_base(v, q, q_prev):
+        r = sys.mass.matvec(v) / dt - cache.fv
+        if cn:
+            r = r + cache.rhs_half @ v - (1.5 * q - 0.5 * q_prev)
+        else:
+            r = r - q
+        return r
 
     if feedback == "implicit":
         n_p = cache.fp.shape[0]
@@ -562,27 +634,29 @@ def nse_closed_loop_outputs(
         )
         eye_m = jnp.eye(sys.m_in, dtype=sys.b.dtype)
 
-        def step(v, _):
+        def step(carry, _):
+            v, q_prev = carry
             uff = k_gain @ vbar
-            expl = conv.conv_inner(v) - cache.l1_imp @ v
-            rhs_v = (
-                sys.mass.matvec(v) / dt - expl + sys.b @ uff - cache.fv
-            )
+            q = q_of(v)
+            rhs_v = rhs_base(v, q, q_prev) + sys.b @ uff
             x0 = cache.lu.apply(rhs_v, cache.fp)
             corr = jnp.linalg.solve(eye_m + k_gain @ gmat, k_gain @ x0)
             v_next = x0 - gmat @ corr
             u = -(k_gain @ (v_next - vbar))
-            return v_next, (sys.c @ v_next, jnp.sum(u * u))
+            return (v_next, q), (sys.c @ v_next, jnp.sum(u * u))
 
     else:
 
-        def step(v, _):
+        def step(carry, _):
+            v, q_prev = carry
             u = -(k_gain @ (v - vbar))
-            expl = conv.conv_inner(v) - cache.l1_imp @ v
-            rhs_v = sys.mass.matvec(v) / dt - expl + sys.b @ u - cache.fv
+            q = q_of(v)
+            rhs_v = rhs_base(v, q, q_prev) + sys.b @ u
             v_next = cache.lu.apply(rhs_v, cache.fp)
-            return v_next, (sys.c @ v_next, jnp.sum(u * u))
+            return (v_next, q), (sys.c @ v_next, jnp.sum(u * u))
 
-    v_final, (ys_tail, u_sq) = jax.lax.scan(step, v0, None, length=nts)
+    (v_final, _), (ys_tail, u_sq) = jax.lax.scan(
+        step, (v0, q_of(v0)), None, length=nts
+    )
     ys = jnp.concatenate([(sys.c @ v0)[None], ys_tail], axis=0)
     return ys, u_sq, v_final

@@ -107,21 +107,32 @@ def sharded_sweep_rollout(
     dt: float,
     nts: int,
     axis: str = "scenario",
+    ystar: jax.Array | None = None,
 ):
     """Config-5 entry: scenario axis sharded over the mesh, bucket
     operands replicated, block-reduced sweep statistics via psum.
 
     v0: (R, S, n) with S % mesh.shape[axis] == 0. Returns
     (ys (R, S, nts+1, p), stats) with stats globally reduced:
-    mean_cost (per bucket), max_abs_y (per bucket), total scenarios.
-    """
+    mean_cost (per bucket), max_abs_y, tracking_err_T, scenarios.
 
-    def local_block(cache_l, ks_l, v0_l):
+    ystar: optional (R, p) per-bucket constant target so the sweep
+    measures the DRIVER'S quadratic tracking objective
+    int ||y - y*||^2 + alpha ||u||^2 dt (BASELINE config 5 parity with
+    optcont.py); None keeps the regulation objective (y* = 0).
+    """
+    p_out = sys.p_out
+    n_buckets = v0.shape[0]
+    if ystar is None:
+        ystar = jnp.zeros((n_buckets, p_out), v0.dtype)
+
+    def local_block(cache_l, ks_l, v0_l, ystar_l):
         ys, u_sq, v_fin = sweep_rollout(
             sys, conv, cache_l, ks_l, v0_l, alpha, dt, nts
         )
+        dy = ys - ystar_l[:, None, None, :]
         local_cost = (
-            jnp.sum(ys**2, axis=(1, 2, 3)) * dt
+            jnp.sum(dy**2, axis=(1, 2, 3)) * dt
             + alpha * jnp.sum(u_sq, axis=(1, 2)) * dt
         )  # (R,)
         total_cost = jax.lax.psum(local_cost, axis)
@@ -129,9 +140,17 @@ def sharded_sweep_rollout(
         max_y = jax.lax.pmax(
             jnp.max(jnp.abs(ys), axis=(1, 2, 3)), axis
         )
+        # Terminal tracking error, mean over scenarios per bucket.
+        err_t = jax.lax.psum(
+            jnp.sum(
+                jnp.linalg.norm(dy[:, :, -1, :], axis=-1), axis=1
+            ),
+            axis,
+        )
         return ys, {
             "mean_cost": total_cost / n_total,
             "max_abs_y": max_y,
+            "tracking_err_T": err_t / n_total,
             "scenarios": n_total,
         }
 
@@ -142,14 +161,20 @@ def sharded_sweep_rollout(
             jax.tree.map(lambda _: P(), cache_stack),
             P(),
             P(None, axis, None),
+            P(),
         ),
         out_specs=(
             P(None, axis),
-            {"mean_cost": P(), "max_abs_y": P(), "scenarios": P()},
+            {
+                "mean_cost": P(),
+                "max_abs_y": P(),
+                "tracking_err_T": P(),
+                "scenarios": P(),
+            },
         ),
         check_vma=False,
     )
-    return jax.jit(fn)(cache_stack, ks, v0)
+    return jax.jit(fn)(cache_stack, ks, v0, ystar)
 
 
 def assign_re_buckets(re_values: np.ndarray, re_buckets: np.ndarray):

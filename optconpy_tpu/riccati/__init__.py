@@ -7,6 +7,7 @@ from .shifts import (
     dre_shifted_interval,
 )
 from .are import solve_are_stabilized
+from .validate import dre_step_residual
 from .bernoulli import stabilizing_gain_dae, stabilizing_gain_reduced
 from .lyap_adi import lowrank_adi, lyap_residual_norm
 from .newton_kleinman import newton_adi_are, gain_from_factor
@@ -33,6 +34,7 @@ __all__ = [
     "lowrank_adi",
     "lyap_residual_norm",
     "solve_are_stabilized",
+    "dre_step_residual",
     "stabilizing_gain_dae",
     "stabilizing_gain_reduced",
     "newton_adi_are",

@@ -93,11 +93,24 @@ def build_dre_cache_dae(
 ):
     """Shifted saddle cache of [[Atil^T + sigma M, J^T], [J, 0]].
 
-    solver: 'lu' or 'inverse' (GEMM apply — solvers/saddle.py)."""
+    solver: 'lu' or 'inverse' (GEMM apply — solvers/saddle.py; built
+    through SPARSE LU factorizations, the cheap setup path)."""
     from ..solvers.saddle import (
         SaddleShiftedInverseCache,
         SaddleShiftedLUCache,
     )
+
+    if solver == "inverse":
+        from ..ops.sparse import ell_to_scipy
+
+        m_sp = ell_to_scipy(sys.mass)
+        a_sp = ell_to_scipy(sys.stiff)
+        j_sp = ell_to_scipy(sys.jmat)
+        at_til_sp = (a_sp.T - m_sp / (2.0 * dt)).tocsr()
+        return SaddleShiftedInverseCache.build_sparse(
+            at_til_sp, m_sp, j_sp, np.asarray(sig),
+            dtype=dtype or sys.b.dtype,
+        )
 
     m_d, a_d, j_d = sys.dense()
     at_til = a_d.T - m_d / (2.0 * dt)
@@ -105,11 +118,9 @@ def build_dre_cache_dae(
         at_til = at_til.astype(dtype)
         m_d = m_d.astype(dtype)
         j_d = j_d.astype(dtype)
-    cls = {
-        "lu": SaddleShiftedLUCache,
-        "inverse": SaddleShiftedInverseCache,
-    }[solver]
-    return cls.build(at_til, m_d, j_d, jnp.asarray(sig, at_til.dtype))
+    return SaddleShiftedLUCache.build(
+        at_til, m_d, j_d, jnp.asarray(sig, at_til.dtype)
+    )
 
 
 def build_dre_cache_dae_krylov(

@@ -249,7 +249,7 @@ class SaddleShiftedInverseCache:
     applied as one GEMM per solve (velocity block returned) — the
     MXU-optimal ADI solve path; same contract as SaddleShiftedLUCache."""
 
-    inv: jax.Array  # (J, n+np, n+np)
+    inv: jax.Array  # (J, n+np, n+np) or vv-block-only (J, n, n)
     n: int
 
     @staticmethod
@@ -272,6 +272,38 @@ class SaddleShiftedInverseCache:
             big[n:, :n] = j_np
             invs.append(host_inverse(big, out_dtype=dtype))
         return SaddleShiftedInverseCache(jnp.stack(invs), n)
+
+    @staticmethod
+    def build_sparse(at_sp, m_sp, j_sp, shifts, dtype=jnp.float32):
+        """Sparse-LU setup: splu of each shifted saddle pencil, then
+        the explicit inverse's velocity-velocity block by solving
+        against [I_n; 0] — only block solve() ever reads. ~6x cheaper
+        than dense getrf+getri at n+np ~ 5k on the deploy VMs (the
+        round-1 bench spent ~150 s of its 'compile+factor' here) and
+        (J, n, n) instead of (J, (n+np)^2) HBM.
+        """
+        import numpy as np
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        at_sp = sp.csr_matrix(at_sp)
+        m_sp = sp.csr_matrix(m_sp)
+        j_sp = sp.csr_matrix(j_sp)
+        n = at_sp.shape[0]
+        n_p = j_sp.shape[0]
+        rhs = np.zeros((n + n_p, n))
+        rhs[:n] = np.eye(n)
+        invs = []
+        for sigma in np.asarray(shifts, dtype=np.float64):
+            big = sp.bmat(
+                [[at_sp + sigma * m_sp, j_sp.T], [j_sp, None]],
+                format="csc",
+            )
+            lu = spla.splu(big)
+            invs.append(np.asarray(lu.solve(rhs)[:n], dtype=np.dtype(dtype)))
+        return SaddleShiftedInverseCache(
+            jnp.asarray(np.stack(invs)), n
+        )
 
     def solve(self, i: jax.Array, rhs: jax.Array) -> jax.Array:
         inv_i = jax.lax.dynamic_index_in_dim(self.inv, i, keepdims=False)

@@ -158,9 +158,18 @@ def test_inverse_caches_match_lu(heat, cavity):
     m_dc, a_dc, j_dc = sys_c.dense()
     lu_s = SaddleShiftedLUCache.build(a_dc.T, m_dc, j_dc, sigc)
     inv_s = SaddleShiftedInverseCache.build(a_dc.T, m_dc, j_dc, sigc)
+    # Sparse-LU builder (the cheap setup path build_dre_cache_dae
+    # uses): must agree with the dense builder.
+    inv_sp = SaddleShiftedInverseCache.build_sparse(
+        np_ops_c["A"].T.tocsr(), np_ops_c["M"], np_ops_c["J"],
+        np.asarray(sigc), dtype=jnp.float64,
+    )
     rhs = jnp.asarray(rng.standard_normal((sys_c.n, 2)))
     for i in (1, 4):
         x1 = np.asarray(lu_s.solve(jnp.int32(i), rhs))
         x2 = np.asarray(inv_s.solve(jnp.int32(i), rhs))
+        x3 = np.asarray(inv_sp.solve(jnp.int32(i), rhs))
         np.testing.assert_allclose(x2, x1, rtol=0,
+                                   atol=1e-8 * np.abs(x1).max())
+        np.testing.assert_allclose(x3, x1, rtol=0,
                                    atol=1e-8 * np.abs(x1).max())
