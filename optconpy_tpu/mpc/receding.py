@@ -133,6 +133,7 @@ def receding_horizon_mpc(
     n_macro: int,
     metrics=None,
     profile: bool = False,
+    checkpoint: str | None = None,
 ):
     """Run n_macro receding-horizon macro steps; returns dict of
     trajectories (vs (S, n_macro*apply+1, n)), inputs, gains history.
@@ -142,7 +143,15 @@ def receding_horizon_mpc(
     profile: insert device barriers and record per-macro-step wall
     times {rebuild, dre, rollout} under result['timings'] — the
     config-4 cost breakdown (scripts/bench_receding.py).
+    checkpoint: optional npz path — after every completed macro step
+    the loop state (macro index, scenario batch, warm-start gain) is
+    written atomically, and a later call with the same path resumes
+    from the last completed step (SURVEY.md SS5.3: per-macro-step
+    resume points; the reference's load_or_comp restart granularity).
+    Resumed runs return only the trajectories from the resume point
+    (result['resumed_from'] > 0 flags the truncation).
     """
+    import os as _os
     import time as _time
     dtype = sys.b.dtype
     n, m = sys.b.shape
@@ -157,13 +166,21 @@ def receding_horizon_mpc(
 
     v_batch = jnp.asarray(v0_batch, dtype)
     k_prev = jnp.zeros((m, n), dtype)
+    start_macro = 0
+    if checkpoint is not None and _os.path.exists(checkpoint):
+        ck = np.load(checkpoint)
+        done = int(ck["macro"])
+        if 0 < done <= n_macro:
+            start_macro = done
+            v_batch = jnp.asarray(ck["v_batch"], dtype)
+            k_prev = jnp.asarray(ck["k_prev"], dtype)
     vs_hist = [v_batch]
     us_hist = []
     ks_hist = []
     timings = []
     vnom = vbar0
 
-    for macro in range(n_macro):
+    for macro in range(start_macro, n_macro):
         t_macro0 = _time.time()
         # vnom is ONLY the linearization point for the operators; the
         # feedback setpoint stays the target vbar0 — regulating to the
@@ -220,6 +237,19 @@ def receding_horizon_mpc(
                 "rollout_s": _time.time() - t_roll0,
                 "total_s": _time.time() - t_macro0,
             })
+        if checkpoint is not None:
+            tmp = checkpoint + ".tmp"
+            np.savez(
+                tmp,
+                macro=macro + 1,
+                v_batch=np.asarray(v_batch),
+                k_prev=np.asarray(k_prev),
+            )
+            # np.savez appends .npz to a bare prefix.
+            _os.replace(
+                tmp if tmp.endswith(".npz") else tmp + ".npz",
+                checkpoint,
+            )
         if metrics is not None:
             metrics.log(
                 "mpc_macro_step",
@@ -233,12 +263,20 @@ def receding_horizon_mpc(
     vs_all = jnp.concatenate(
         [vs_hist[0][:, None, :]] + vs_hist[1:], axis=1
     )
-    us_all = jnp.concatenate(us_hist, axis=1)
+    s_batch = v_batch.shape[0]
+    us_all = (
+        jnp.concatenate(us_hist, axis=1) if us_hist
+        else jnp.zeros((s_batch, 0, m), dtype)
+    )
     out = {
         "vs": vs_all,
         "us": us_all,
-        "ks": jnp.stack(ks_hist),
+        "ks": (
+            jnp.stack(ks_hist) if ks_hist
+            else jnp.zeros((0, m, n), dtype)
+        ),
         "v_final": v_batch,
+        "resumed_from": start_macro,
     }
     if profile:
         out["timings"] = timings

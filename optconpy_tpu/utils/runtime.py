@@ -16,9 +16,24 @@ import os
 import jax
 
 
-def setup(matmul_precision: str = "highest") -> None:
-    """Configure JAX for the solver workload (idempotent)."""
+def setup(
+    matmul_precision: str = "highest",
+    debug_nans: bool | None = None,
+) -> None:
+    """Configure JAX for the solver workload (idempotent).
+
+    debug_nans: the CI sanitizer mode (SURVEY.md SS5.2) — every jitted
+    computation re-checks for NaN outputs and raises FloatingPointError
+    at the producing op (deoptimizes; never use for benchmarks). When
+    None, the OPTCONPY_DEBUG_NANS env var ('1'/'true') decides, so CI
+    can flip the whole suite to sanitized mode without code changes.
+    """
     jax.config.update("jax_default_matmul_precision", matmul_precision)
+    if debug_nans is None:
+        debug_nans = os.environ.get(
+            "OPTCONPY_DEBUG_NANS", ""
+        ).lower() in ("1", "true", "yes")
+    jax.config.update("jax_debug_nans", bool(debug_nans))
     # Persistent compilation cache: the big solver graphs (DRE sweep,
     # batched rollouts) compile in minutes through the TPU tunnel but
     # hit this cache on every rerun (verified cross-process).

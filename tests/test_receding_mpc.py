@@ -116,6 +116,42 @@ def test_warm_start_reduces_newton_need(cavity):
     assert rel < 5e-2, rel
 
 
+def test_receding_checkpoint_resume(cavity, tmp_path):
+    """Per-macro-step checkpointing (SURVEY.md SS5.3): a run killed
+    after 2 of 3 macro steps resumes from the checkpoint and reaches
+    the same final state as the uninterrupted run."""
+    np_ops, sys64, cond = cavity
+    sys = sys64.astype(jnp.float64)
+    conv = ConvKernel.build(np_ops["full"], cond, dtype=jnp.float64)
+    cfg = RHConfig(horizon=6, apply=3, dt=0.02, alpha=1e-6, r_max=24)
+    sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"], cfg.dt,
+        num_shifts=6, n_adi=12,
+    )
+    rng = np.random.default_rng(3)
+    vbar = cond.restrict(np_ops["vbar_full"])
+    v0 = jnp.asarray(vbar[None] + 1e-2 * rng.standard_normal((2, sys.n)))
+    args = (sys, conv, np_ops, cond, cfg, sig, sigma_seq, idx_seq, v0)
+
+    ref = receding_horizon_mpc(*args, n_macro=3)
+    ckpt = str(tmp_path / "mpc_state.npz")
+    part = receding_horizon_mpc(*args, n_macro=2, checkpoint=ckpt)
+    assert part["resumed_from"] == 0
+    resumed = receding_horizon_mpc(*args, n_macro=3, checkpoint=ckpt)
+    assert resumed["resumed_from"] == 2
+    np.testing.assert_allclose(
+        np.asarray(resumed["v_final"]), np.asarray(ref["v_final"]),
+        rtol=0, atol=1e-12,
+    )
+    # Fully-completed checkpoint: nothing left to do, state preserved.
+    again = receding_horizon_mpc(*args, n_macro=3, checkpoint=ckpt)
+    assert again["resumed_from"] == 3
+    np.testing.assert_allclose(
+        np.asarray(again["v_final"]), np.asarray(ref["v_final"]),
+        rtol=0, atol=1e-12,
+    )
+
+
 def test_receding_matfree_matches_lu(cavity):
     """The matrix-free macro loop (sparse host re-linearization +
     SaddleMatfreeCache rebuilds) reproduces the dense-LU macro loop's
