@@ -151,7 +151,12 @@ class WindowedELL:
 
 
 def _tile_windows(csr, tile_m: int, w_pad: int):
-    """Per-tile (start, width) column windows; returns (starts, w)."""
+    """Per-tile (start, width) column windows; returns (starts, w).
+
+    Starts are aligned DOWN to multiples of 8 (f32 sublane tiling) so
+    the kernels' dynamic window DMA slices are provably tile-aligned
+    for Mosaic; w absorbs the <= 7 extra columns that costs.
+    """
     m = csr.shape[0]
     n_tiles = _round_up(max(m, 1), tile_m) // tile_m
     starts = np.zeros(n_tiles, dtype=np.int64)
@@ -162,9 +167,9 @@ def _tile_windows(csr, tile_m: int, w_pad: int):
         if hi > lo:
             cmin = int(csr.indices[lo:hi].min())
             cmax = int(csr.indices[lo:hi].max())
-            starts[t] = cmin
-            width = max(width, cmax - cmin + 1)
-    w = _round_up(width, w_pad)
+            starts[t] = cmin - (cmin % 8)
+            width = max(width, cmax - int(starts[t]) + 1)
+    w = int(_round_up(width, w_pad))
     return starts, w
 
 
@@ -178,9 +183,11 @@ def pack_windowed_dense(
     m, n = a.shape
     starts, w = _tile_windows(a, tile_m, w_pad)
     n_tiles = len(starts)
-    # Clip starts so [start, start + w) fits the w-padded column space.
+    # Clip starts so [start, start + w) fits the w-padded column space
+    # (clip bound aligned down to 8 to preserve DMA tile alignment).
     n_pad = _round_up(n + w, 8)  # X rows padded by wrapper to >= n + w
-    starts = np.minimum(starts, max(n_pad - w, 0))
+    clip = max(n_pad - w, 0)
+    starts = np.minimum(starts, clip - clip % 8)
     blocks = np.zeros((n_tiles, tile_m, w), dtype=dtype)
     coo = a.tocoo()
     t_idx = coo.row // tile_m
@@ -206,7 +213,8 @@ def pack_windowed_ell(
     m, n = a.shape
     starts, w = _tile_windows(a, tile_m, w_pad)
     n_pad_cols = _round_up(n + w, 8)
-    starts = np.minimum(starts, max(n_pad_cols - w, 0))
+    clip = max(n_pad_cols - w, 0)
+    starts = np.minimum(starts, clip - clip % 8)
     m_pad = _round_up(max(m, 1), tile_m)
     row_nnz = np.diff(a.indptr)
     k = _round_up(max(int(row_nnz.max()) if m else 1, 1), k_pad)
@@ -245,7 +253,12 @@ def _pad_x(x: jax.Array, n: int, w: int, b_pad: int):
 def windowed_dense_spmm(
     a: WindowedDense, x: jax.Array, interpret: bool = False
 ) -> jax.Array:
-    """Y = A @ X via the windowed-dense Pallas kernel."""
+    """Y = A @ X via the windowed-dense Pallas kernel.
+
+    Grid = (row tiles, column tiles): wide scenario batches tile the
+    X/Y columns so the per-tile VMEM window (w x b_tile) stays well
+    under the ~16 MB scoped limit even at w ~ 3k, B ~ 1k.
+    """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -253,33 +266,45 @@ def windowed_dense_spmm(
     xp, b, squeeze = _pad_x(x, n, a.w, 128)
     n_tiles = a.blocks.shape[0]
     bp = xp.shape[1]
+    b_tile = min(bp, max(128, (4 * 1024 * 1024 // (4 * a.w)) // 128 * 128))
+    while bp % b_tile:  # keep an integral column grid (bp % 128 == 0)
+        b_tile -= 128
+    n_bt = bp // b_tile
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        # bt fastest: the A block stays resident across column tiles.
+        grid=(n_tiles, n_bt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # X stays off-core
+            # X stays off-core EXPLICITLY: with ANY the compiler has
+            # placed wide-B X in VMEM (30 MB overflow + unprovable
+            # dynamic-slice alignment at B=1024).
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (1, a.tile_m, a.w),
-                lambda t, ws: (t, 0, 0),
+                lambda t, bt, ws: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (a.tile_m, bp), lambda t, ws: (t, 0),
+            (a.tile_m, b_tile), lambda t, bt, ws: (t, bt),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((a.w, bp), xp.dtype),
+            pltpu.VMEM((a.w, b_tile), xp.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
 
     def kernel(ws_ref, x_hbm, blocks_ref, out_ref, xw, sem):
         ti = pl.program_id(0)
-        start = ws_ref[ti]
+        bt = pl.program_id(1)
+        # Window starts are 8-aligned at pack time (_tile_windows);
+        # Mosaic needs the hint to prove the slice is tile-aligned.
+        start = pl.multiple_of(ws_ref[ti], 8)
         dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, a.w), :], xw, sem
+            x_hbm.at[pl.ds(start, a.w), pl.ds(bt * b_tile, b_tile)],
+            xw, sem,
         )
         dma.start()
         dma.wait()
@@ -295,7 +320,7 @@ def windowed_dense_spmm(
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * a.tile_m * a.w * bp,
             bytes_accessed=(
-                a.blocks.size * a.blocks.dtype.itemsize
+                a.blocks.size * a.blocks.dtype.itemsize * n_bt
                 + n_tiles * a.w * bp * xp.dtype.itemsize
                 + n_tiles * a.tile_m * bp * xp.dtype.itemsize
             ),
@@ -324,7 +349,7 @@ def windowed_ell_spmm(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # X off-core
             pl.BlockSpec(
                 (a.tile_m, k), lambda t, ws: (t, 0),
                 memory_space=pltpu.VMEM,
@@ -346,7 +371,7 @@ def windowed_ell_spmm(
 
     def kernel(ws_ref, x_hbm, data_ref, cols_ref, out_ref, xw, sem):
         ti = pl.program_id(0)
-        start = ws_ref[ti]
+        start = pl.multiple_of(ws_ref[ti], 8)  # pack-time aligned
         dma = pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, a.w), :], xw, sem
         )
@@ -376,6 +401,26 @@ def pack_windowed(a, kind: str = "dense", **kw):
     if kind == "ell":
         return pack_windowed_ell(a, **kw)
     raise ValueError(f"unknown windowed pack kind: {kind}")
+
+
+def pack_for_backend(a_sp, dtype, kind: str = "auto", w_cap: int = 4096):
+    """Pack a scipy matrix for on-device SpMM: windowed-dense on TPU,
+    einsum-ELL elsewhere (and whenever the measured column window
+    exceeds w_cap — the per-tile X window lives in VMEM, ~16 MB scoped
+    limit). kind: 'auto' | 'windowed' | 'ell'. 'auto' respects an
+    explicitly pinned default DEVICE (the test harness pins CPU while
+    the axon TPU plugin keeps default_backend() == 'tpu')."""
+    if kind == "auto":
+        dd = jax.config.jax_default_device
+        platform = dd.platform if dd is not None else jax.default_backend()
+        kind = "windowed" if platform == "tpu" else "ell"
+    if kind == "windowed":
+        pack = pack_windowed_dense(a_sp, dtype=np.dtype(dtype))
+        if pack.w <= w_cap:
+            return pack
+    from .sparse import ell_from_scipy
+
+    return ell_from_scipy(a_sp, pad_to=8, dtype=np.dtype(dtype))
 
 
 def spmm(a, x: jax.Array) -> jax.Array:

@@ -50,31 +50,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pack_operator(a_sp, kind: str, dtype, w_cap: int = 4096):
-    """Pack a scipy matrix for on-device SpMM (windowed-dense on TPU,
-    einsum-ELL elsewhere/in tests).
+    """Pack a scipy matrix for on-device SpMM — see
+    ops.pallas_spmm.pack_for_backend (wide-window operators, e.g. the
+    divergence J at fine refinements whose pressure rows straddle both
+    velocity components, fall back to einsum-ELL rather than blow the
+    ~16 MB scoped-VMEM limit)."""
+    from ..ops.pallas_spmm import pack_for_backend
 
-    w_cap: maximum admissible column window for the windowed kernel —
-    its per-tile X window lives in VMEM (w x 128 lanes x 4 B), so a
-    wide-window operator (e.g. the divergence J at fine refinements,
-    whose pressure rows straddle both velocity components) must fall
-    back to einsum-ELL rather than blow the ~16 MB scoped-VMEM limit.
-    """
-    if kind == "auto":
-        # Respect an explicitly pinned default DEVICE (the test harness
-        # pins CPU while the axon TPU plugin keeps default_backend() ==
-        # 'tpu' — packing windowed there would compile Mosaic for CPU).
-        dd = jax.config.jax_default_device
-        platform = dd.platform if dd is not None else jax.default_backend()
-        kind = "windowed" if platform == "tpu" else "ell"
-    if kind == "windowed":
-        from ..ops.pallas_spmm import pack_windowed_dense
-
-        pack = pack_windowed_dense(a_sp, dtype=np.dtype(dtype))
-        if pack.w <= w_cap:
-            return pack
-    from ..ops.sparse import ell_from_scipy
-
-    return ell_from_scipy(a_sp, pad_to=8, dtype=np.dtype(dtype))
+    return pack_for_backend(a_sp, dtype, kind=kind, w_cap=w_cap)
 
 
 def _block_jacobi_inverses(f_sp, block: int, n_pad: int) -> np.ndarray:
