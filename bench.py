@@ -35,7 +35,7 @@ DT = 0.005
 ALPHA = 1e-2
 NTS_GAIN = 6  # DRE steps used to produce a real (warm) gain
 R_MAX = 32
-N_SHIFTS = 12
+N_SHIFTS = 6
 N_ADI = 24
 CPU_STEPS = 8
 
@@ -45,14 +45,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     from optconpy_tpu import utils
-    from optconpy_tpu.fem.device_conv import ConvKernel
+    from optconpy_tpu.fem.device_conv import ConvKernel, FusedConvKernel
     from optconpy_tpu.models.cylinder import cylinder_setup
     from optconpy_tpu.mpc.nse_rollout import (
         batched_nse_closed_loop,
         build_nse_fused,
     )
     from optconpy_tpu.riccati import (
-        build_dre_cache_dae,
         dre_backward_sweep,
         dre_shift_schedule_dae,
     )
@@ -65,7 +64,10 @@ def main() -> None:
     t0 = time.time()
     np_ops, sys64, cond = cylinder_setup(re=RE, refinement=REFINEMENT)
     sys = sys64.astype(dtype)
-    conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
+    # Production convection kernel: the fused Pallas element kernel
+    # (ops/pallas_conv.py) — measured 8.2 vs 13.8 ms/call against the
+    # XLA lowering at (n=4396, B=1024) on v5e, parity 1.5e-7 (r3).
+    conv = FusedConvKernel.build(np_ops["full"], cond, dtype=dtype)
     n, m = sys.b.shape
     log(
         f"setup {time.time() - t0:.1f}s: n={n} np={sys.n_p} m={m} "
@@ -73,13 +75,90 @@ def main() -> None:
     )
 
     # --- Real gains: short backward DRE sweep on the DAE pencil. ---
+    # Cold-start breakdown (VERDICT r2 item 6): shift schedule /
+    # inverse-cache build / XLA compile timed separately.
     t0 = time.time()
     sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
         np_ops["A"], np_ops["M"], np_ops["J"], DT,
         num_shifts=N_SHIFTS, n_adi=N_ADI,
     )
-    dre_cache = build_dre_cache_dae(sys, DT, sig, dtype=dtype,
-                                    solver="inverse")
+    t_shifts = time.time() - t0
+    # Warm-restart path (the reference's load_or_comp contract,
+    # SURVEY.md SS3.5): the shifted-inverse stack depends only on
+    # (problem, dt, shift schedule, dtype) — cache it uncompressed in
+    # data/ so a cold MPC restart loads ~1 GB from disk instead of
+    # re-running 12 sparse-LU inverse builds.
+    import hashlib
+    import os
+
+    from optconpy_tpu.ops.sparse import ell_to_scipy
+    from optconpy_tpu.solvers.saddle import SaddleShiftedInverseCache
+
+    inv_key = hashlib.sha256(
+        repr((RE, REFINEMENT, DT, np.asarray(sig).tobytes(), "f32"))
+        .encode()
+    ).hexdigest()[:12]
+    inv_path = f"data/bench_dreinv_{inv_key}.npy"
+    t0 = time.time()
+    if os.path.exists(inv_path):
+        inv_np = np.load(inv_path)
+        inv_source = "disk"
+        dre_cache = SaddleShiftedInverseCache(jnp.asarray(inv_np), n)
+        jax.block_until_ready(dre_cache.inv)
+        t_cachebuild = time.time() - t0
+    else:
+        # Per-shift pipelined build: each sparse-LU inverse block
+        # starts its (async) device transfer the moment the worker
+        # thread finishes it, overlapping the tunnel DMA (measured
+        # 20-40 MiB/s, the variable part of the cold start) with the
+        # remaining SuperLU solves.
+        from concurrent.futures import ThreadPoolExecutor
+
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        m_sp = ell_to_scipy(sys.mass)
+        a_sp = ell_to_scipy(sys.stiff)
+        j_sp = ell_to_scipy(sys.jmat)
+        at_til_sp = (a_sp.T - m_sp / (2.0 * DT)).tocsr()
+        n_p = j_sp.shape[0]
+        rhs_eye = np.zeros((n + n_p, n))
+        rhs_eye[:n] = np.eye(n)
+
+        def one(sigma):
+            big = sp.bmat(
+                [[at_til_sp + sigma * m_sp, j_sp.T], [j_sp, None]],
+                format="csc",
+            )
+            return np.asarray(
+                spla.splu(big).solve(rhs_eye)[:n], dtype=np.float32
+            )
+
+        t_build_cpu = 0.0
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(one, s) for s in np.asarray(sig)]
+            np_blocks, dev_blocks = [], []
+            for f in futs:
+                blk = f.result()
+                np_blocks.append(blk)
+                dev_blocks.append(jnp.asarray(blk))  # async DMA
+            t_build_cpu = time.time() - t0
+        dre_cache = SaddleShiftedInverseCache(jnp.stack(dev_blocks), n)
+        jax.block_until_ready(dre_cache.inv)
+        t_cachebuild = time.time() - t0
+        inv_np = np.stack(np_blocks)
+        inv_source = "built"
+        os.makedirs("data", exist_ok=True)
+        np.save(inv_path, inv_np)
+        log(
+            f"  (cache sub-phases: splu builds {t_build_cpu:.1f}s, "
+            f"+transfer drain {t_cachebuild - t_build_cpu:.1f}s)"
+        )
+    log(
+        f"DRE cold-start: shifts {t_shifts:.1f}s, "
+        f"inverse-cache {inv_source}+transfer {t_cachebuild:.1f}s"
+    )
+    t0 = time.time()
     ss_dev = jnp.asarray(sigma_seq, dtype)
     ii_dev = jnp.asarray(idx_seq)
 
@@ -98,10 +177,12 @@ def main() -> None:
     t0 = time.time()
     run_dre(ALPHA * 1.0001)  # warm timing, distinct operand
     t_dre = time.time() - t0
+    t_cold_total = t_shifts + t_cachebuild + t_compile
     adi_iters = NTS_GAIN * 1 * N_ADI
     adi_iters_per_s = adi_iters / t_dre
     log(
-        f"DRE gains: compile+factor {t_compile:.1f}s, warm sweep "
+        f"DRE gains: XLA compile+first-run {t_compile:.1f}s "
+        f"(cold total {t_cold_total:.1f}s), warm sweep "
         f"{t_dre:.2f}s -> {adi_iters_per_s:.1f} ADI iters/s"
     )
 
@@ -147,20 +228,28 @@ def main() -> None:
 
     # Model FLOPs / MFU for the fused step: two (n, n) GEMMs (pmat,
     # inv_vv), the gain/input GEMMs, and the element-local convection
-    # contraction (eijkb,ejb,eka->eia).
+    # contraction. Contraction count (ADVICE r2): per element per
+    # scenario the W stage is 36*(12 MACs) = 432 and the combine is
+    # 2*36 = 72 MACs -> 504 MACs = 1008 flops/element.
     nt = int(conv.t0.shape[0])
     flops_step = (
         4 * n * n  # pmat + inv_vv GEMMs
-        + 2 * nt * 6 * 6 * 6 * 2 * 2  # convection tensor contraction
+        + 1008 * nt  # convection tensor contraction
         + 4 * m * n  # feedback gain + B u
     )
     achieved_tflops = flops_step * solves_per_s / 1e12
-    v5e_bf16_peak = 197.0  # TFLOP/s; f32 MXU throughput is lower
+    v5e_bf16_peak = 197.0  # TFLOP/s
+    # f32 roofline under matmul precision 'highest' (6-pass bf16
+    # emulation of f32 on the MXU, utils/runtime.py): peak/6.
+    v5e_f32_highest_peak = v5e_bf16_peak / 6.0
     mfu_bf16 = achieved_tflops / v5e_bf16_peak
+    mfu_f32 = achieved_tflops / v5e_f32_highest_peak
     log(
         f"model FLOPs/step {flops_step/1e6:.1f} MF -> "
         f"{achieved_tflops:.2f} TFLOP/s "
-        f"({100 * mfu_bf16:.1f}% of v5e bf16 peak)"
+        f"({100 * mfu_bf16:.1f}% of v5e bf16 peak, "
+        f"{100 * mfu_f32:.1f}% of the {v5e_f32_highest_peak:.1f} TF/s "
+        f"f32-highest roofline)"
     )
 
     # Single-scenario latency: what a real-time MPC loop would see.
@@ -297,6 +386,14 @@ def main() -> None:
             "model_flops_per_step": int(flops_step),
             "achieved_tflops": round(achieved_tflops, 2),
             "mfu_vs_v5e_bf16_peak": round(mfu_bf16, 4),
+            "mfu_vs_v5e_f32_highest_peak": round(mfu_f32, 4),
+            "dre_cold_start_s": {
+                "shifts": round(t_shifts, 1),
+                "inverse_cache_build": round(t_cachebuild, 1),
+                "inverse_cache_source": inv_source,
+                "xla_compile_first_run": round(t_compile, 1),
+                "total": round(t_cold_total, 1),
+            },
             "latency_ms_per_step_s1": round(lat_ms_per_step, 3),
             "adi_iters_per_s": round(adi_iters_per_s, 2),
             "cpu_adi_iters_per_s": round(cpu_adi_iters_per_s, 2),

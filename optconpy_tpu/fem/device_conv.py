@@ -49,7 +49,11 @@ class ConvKernel:
     n_free: int
 
     @staticmethod
-    def build(ops: dict, cond, dtype=jnp.float64) -> "ConvKernel":
+    def _host_arrays(ops: dict, cond) -> dict:
+        """Host-side (numpy) build of every ConvKernel array — shared
+        with FusedConvKernel.build, which must repack from NUMPY (a
+        device->host readback of t0 through the TPU tunnel costs
+        minutes; measured r3)."""
         from .taylor_hood import convection_tensor
 
         space = ops["space"]
@@ -69,13 +73,25 @@ class ConvKernel:
         group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
         rank = np.arange(nt6) - group_start[sorted_dofs]
         slots[sorted_dofs, rank] = order
+        return {
+            "t0": t0,
+            "tri_dofs": np.asarray(space.tri_dofs, np.int32),
+            "free": np.asarray(cond.free, np.int32),
+            "dir_values": dir_values,
+            "slots": slots,
+            "ns": ns,
+        }
+
+    @staticmethod
+    def build(ops: dict, cond, dtype=jnp.float64) -> "ConvKernel":
+        h = ConvKernel._host_arrays(ops, cond)
         return ConvKernel(
-            t0=jnp.asarray(t0, dtype),
-            tri_dofs=jnp.asarray(space.tri_dofs, jnp.int32),
-            free=jnp.asarray(cond.free, jnp.int32),
-            dir_values=jnp.asarray(dir_values, dtype),
-            scatter_slots=jnp.asarray(slots),
-            ns=ns,
+            t0=jnp.asarray(h["t0"], dtype),
+            tri_dofs=jnp.asarray(h["tri_dofs"]),
+            free=jnp.asarray(h["free"]),
+            dir_values=jnp.asarray(h["dir_values"], dtype),
+            scatter_slots=jnp.asarray(h["slots"]),
+            ns=h["ns"],
             n_free=len(cond.free),
         )
 
@@ -229,15 +245,24 @@ class FusedConvKernel:
             remap_scatter_slots,
         )
 
-        ref = ConvKernel.build(ops, cond, dtype=dtype)
-        nt = ref.tri_dofs.shape[0]
+        # Pack from the HOST arrays: np.asarray(ref.t0) would read the
+        # tensor back off the device (minutes through the TPU tunnel).
+        h = ConvKernel._host_arrays(ops, cond)
+        ref = ConvKernel(
+            t0=jnp.asarray(h["t0"], dtype),
+            tri_dofs=jnp.asarray(h["tri_dofs"]),
+            free=jnp.asarray(h["free"]),
+            dir_values=jnp.asarray(h["dir_values"], dtype),
+            scatter_slots=jnp.asarray(h["slots"]),
+            ns=h["ns"],
+            n_free=len(cond.free),
+        )
+        nt = h["tri_dofs"].shape[0]
         t0p, nt_pad = pack_conv_tensor(
-            np.asarray(ref.t0, dtype=np.float32), e_block
+            np.asarray(h["t0"], dtype=np.float32), e_block
         )
-        dofs = pad_dofs(np.asarray(ref.tri_dofs), nt_pad)
-        slots_nm = remap_scatter_slots(
-            np.asarray(ref.scatter_slots), nt, nt_pad
-        )
+        dofs = pad_dofs(h["tri_dofs"], nt_pad)
+        slots_nm = remap_scatter_slots(h["slots"], nt, nt_pad)
         return FusedConvKernel(
             ref=ref,
             t0p=jnp.asarray(t0p),
@@ -285,11 +310,12 @@ class FusedConvKernel:
         return self.ref.linearized_dense(v_full, include_l2)
 
     def _use_pallas(self) -> bool:
-        dd = jax.config.jax_default_device
-        platform = (
-            dd.platform if dd is not None else jax.default_backend()
+        from ..utils.runtime import effective_platform
+
+        return (
+            effective_platform() == "tpu"
+            and self.ref.t0.dtype == jnp.float32
         )
-        return platform == "tpu" and self.ref.t0.dtype == jnp.float32
 
     def conv_full_batch(self, v_full_t: jax.Array) -> jax.Array:
         if not self._use_pallas():

@@ -166,9 +166,29 @@ def receding_horizon_mpc(
 
     v_batch = jnp.asarray(v0_batch, dtype)
     k_prev = jnp.zeros((m, n), dtype)
+    # Config fingerprint written into every checkpoint: resuming with
+    # a stale/foreign file (different problem size, horizon, dt, shift
+    # schedule, or dtype) must fail loudly, not silently continue with
+    # inconsistent state (ADVICE r2).
+    import hashlib as _hashlib
+
+    fingerprint = _hashlib.sha256(
+        repr((
+            n, m, int(v_batch.shape[0]), cfg.dt, cfg.horizon,
+            cfg.apply, cfg.alpha, cfg.solver, str(dtype),
+            np.asarray(sig, np.float64).tobytes(),
+        )).encode()
+    ).hexdigest()[:16]
     start_macro = 0
     if checkpoint is not None and _os.path.exists(checkpoint):
         ck = np.load(checkpoint)
+        ck_fp = str(ck["fingerprint"]) if "fingerprint" in ck else ""
+        if ck_fp != fingerprint:
+            raise ValueError(
+                f"checkpoint {checkpoint} fingerprint {ck_fp!r} does "
+                f"not match this run's config ({fingerprint!r}); "
+                "remove the file or fix the config"
+            )
         done = int(ck["macro"])
         if 0 < done <= n_macro:
             start_macro = done
@@ -244,6 +264,7 @@ def receding_horizon_mpc(
                 macro=macro + 1,
                 v_batch=np.asarray(v_batch),
                 k_prev=np.asarray(k_prev),
+                fingerprint=fingerprint,
             )
             # np.savez appends .npz to a bare prefix.
             _os.replace(

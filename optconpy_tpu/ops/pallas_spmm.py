@@ -411,9 +411,9 @@ def pack_for_backend(a_sp, dtype, kind: str = "auto", w_cap: int = 4096):
     explicitly pinned default DEVICE (the test harness pins CPU while
     the axon TPU plugin keeps default_backend() == 'tpu')."""
     if kind == "auto":
-        dd = jax.config.jax_default_device
-        platform = dd.platform if dd is not None else jax.default_backend()
-        kind = "windowed" if platform == "tpu" else "ell"
+        from ..utils.runtime import effective_platform
+
+        kind = "windowed" if effective_platform() == "tpu" else "ell"
     if kind == "windowed":
         pack = pack_windowed_dense(a_sp, dtype=np.dtype(dtype))
         if pack.w <= w_cap:
@@ -430,9 +430,9 @@ def spmm(a, x: jax.Array) -> jax.Array:
     ops.sparse.ELL (einsum oracle/fallback).
     """
     if isinstance(a, (WindowedDense, WindowedELL)):
-        dd = jax.config.jax_default_device
-        backend = dd.platform if dd is not None else jax.default_backend()
-        if backend == "tpu":
+        from ..utils.runtime import effective_platform
+
+        if effective_platform() == "tpu":
             return a.matmat(x)
         # Interpreter fallback keeps CPU tests meaningful.
         if isinstance(a, WindowedDense):

@@ -142,15 +142,38 @@ def optcon_nse(
     )
 
     # --- Backward DRE sweep: per-timestep gains (checkpointed). ---
+    # DRE cache tier: 'auto' pairs the matfree step solver with the
+    # matfree DRE cache (config-3+ sizes, no O((n+np)^2) object) and
+    # everything else with the dense 'inverse' GEMM cache.
+    dre_solver = cfg.solver.dre_solver
+    if dre_solver == "auto":
+        dre_solver = (
+            "matfree" if cfg.solver.step_solver == "matfree"
+            else "inverse"
+        )
+
     def compute_gains():
         if constrained:
-            from .riccati import build_dre_cache_dae, dre_shift_schedule_dae
+            from .riccati import (
+                build_dre_cache_dae,
+                build_dre_cache_dae_matfree,
+                dre_shift_schedule_dae,
+            )
 
             sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
                 np_ops["A"], np_ops["M"], np_ops["J"], dt,
                 num_shifts=cfg.solver.num_shifts, n_adi=cfg.solver.n_adi,
             )
-            cache = build_dre_cache_dae(sys, dt, sig, dtype=dtype)
+            if dre_solver == "matfree":
+                cache = build_dre_cache_dae_matfree(
+                    sys, dt, sig, dtype=dtype,
+                    tol=cfg.solver.fgmres_tol,
+                    max_cycles=cfg.solver.fgmres_cycles,
+                )
+            else:
+                cache = build_dre_cache_dae(
+                    sys, dt, sig, dtype=dtype, solver=dre_solver
+                )
         else:
             from .riccati import build_dre_cache, dre_shift_schedule
 
@@ -158,7 +181,11 @@ def optcon_nse(
                 np_ops["A"], np_ops["M"], dt,
                 num_shifts=cfg.solver.num_shifts, n_adi=cfg.solver.n_adi,
             )
-            cache = build_dre_cache(sys, dt, sig, dtype=dtype)
+            cache = build_dre_cache(
+                sys, dt, sig, dtype=dtype,
+                solver=dre_solver if dre_solver in ("lu", "inverse")
+                else "lu",
+            )
         zs, ks = dre_backward_sweep(
             sys, cache, cfg.cost.alpha, dt, nts,
             jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
@@ -192,14 +219,40 @@ def optcon_nse(
 
     # --- Forward closed-loop sweep (nonlinear NSE or linear LTI). ---
     if constrained:
-        from .fem.device_conv import ConvKernel
-        from .mpc import batched_nse_closed_loop, build_nse_stepper
-
-        conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
-        stepper = build_nse_stepper(
-            np_ops, cond, dt, dtype=dtype, scheme=cfg.solver.imex_scheme,
-            solver=cfg.solver.step_solver,
+        from .fem.device_conv import ConvKernel, FusedConvKernel
+        from .mpc import (
+            batched_nse_closed_loop,
+            build_nse_fused,
+            build_nse_stepper,
+            build_nse_stepper_matfree,
         )
+
+        step_solver = cfg.solver.step_solver
+        # The fused Pallas convection kernel rides the f32 TPU fast
+        # paths; the plain tensor kernel covers f64 and CPU.
+        conv_cls = (
+            FusedConvKernel
+            if step_solver in ("fused", "matfree") and dtype == jnp.float32
+            else ConvKernel
+        )
+        conv = conv_cls.build(np_ops["full"], cond, dtype=dtype)
+        if step_solver == "fused":
+            stepper = build_nse_fused(
+                np_ops, cond, dt, dtype=dtype,
+                scheme=cfg.solver.imex_scheme,
+            )
+        elif step_solver == "matfree":
+            stepper = build_nse_stepper_matfree(
+                np_ops, cond, dt, dtype=dtype,
+                scheme=cfg.solver.imex_scheme,
+                tol=cfg.solver.fgmres_tol,
+                max_cycles=cfg.solver.fgmres_cycles,
+            )
+        else:
+            stepper = build_nse_stepper(
+                np_ops, cond, dt, dtype=dtype,
+                scheme=cfg.solver.imex_scheme, solver=step_solver,
+            )
         if v0_batch is None:
             v0_batch = np.asarray(vbar_i)[None, :]
         v0_dev = jnp.asarray(v0_batch, dtype)

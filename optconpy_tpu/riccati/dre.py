@@ -70,17 +70,19 @@ def dre_shift_schedule_dae(
     """Shift setup for constrained systems: projected spectral interval
     of (A, M)|ker J, time-shifted analytically (riccati/shifts.py).
 
-    interval: optional precomputed (a_min, a_max) override — REQUIRED at
-    large n where the dense projected eig is infeasible. Recipe: a_min
-    from the projected interval of a coarse discretization (the bottom
-    of the spectrum is mesh-converged) + a_max from sparse ARPACK on
-    the unprojected fine pencil (shifts.spectral_interval); Wachspress
-    quality is log-insensitive to modest over-coverage.
+    interval: optional precomputed (a_min, a_max) override. Without it,
+    small n (<= 1200) uses the exact dense projected interval; larger n
+    uses shifts.spectral_interval_dae_cheap — (0, sparse-ARPACK a_max)
+    — because the DRE time shift c = 1/(2 dt) dominates the interval
+    bottom anyway (see that function's docstring; kills the ~30 s
+    dense projected eig from the bench cold start, VERDICT r2 item 6).
     """
     if interval is not None:
         a_min, a_max = interval
-    else:
+    elif a_np.shape[0] <= 1200:
         a_min, a_max = shiftmod.spectral_interval_dae(a_np, m_np, j_np)
+    else:
+        a_min, a_max = shiftmod.spectral_interval_dae_cheap(a_np, m_np)
     a_min_s, a_max_s = shiftmod.dre_shifted_interval(a_min, a_max, dt)
     sig = shiftmod.wachspress_shifts(a_min_s, a_max_s, num_shifts)
     idx = np.arange(num_shifts, dtype=np.int32)

@@ -64,6 +64,32 @@ def spectral_interval_dae(a_sp, m_sp, j_sp) -> tuple[float, float]:
     return float(re.min()), float(re.max())
 
 
+def spectral_interval_dae_cheap(a_sp, m_sp) -> tuple[float, float]:
+    """Cheap large-n interval for DRE-SHIFTED constrained pencils:
+    (0, a_max) with a_max from sparse ARPACK on the UNPROJECTED pencil.
+
+    Justified for the DRE use only: the implicit-Euler time shift adds
+    c = 1/(2 dt) to both interval ends (dre_shifted_interval), and c
+    (~1e2) dwarfs the projected pencil's smallest real part (~1e0), so
+    a_min's exact value is irrelevant after shifting; a_max of the
+    unprojected pencil upper-bounds the projected one (modest
+    over-coverage, log-insensitive for Wachspress). Replaces the dense
+    projected eig (~30 s at n=4396, VERDICT r2 cold-start item) with
+    one ARPACK LM solve (~1 s).
+    """
+    a_s = sp.csc_matrix(a_sp)
+    m_s = sp.csc_matrix(m_sp)
+    # Deterministic ARPACK start vector: the default random v0 makes
+    # the computed interval (hence the Wachspress shifts, hence every
+    # shift-keyed cache artifact) vary run to run.
+    v0 = np.ones(a_s.shape[0])
+    lam_big = spla.eigs(
+        a_s, k=1, M=m_s, which="LM", return_eigenvectors=False, v0=v0
+    )
+    a_max = float(np.max(-np.real(lam_big)))
+    return 0.0, a_max
+
+
 def wachspress_shifts(a_min: float, a_max: float, num: int) -> np.ndarray:
     """Log-spaced real negative shifts covering [-a_max, -a_min].
 

@@ -274,14 +274,14 @@ class SaddleShiftedInverseCache:
         return SaddleShiftedInverseCache(jnp.stack(invs), n)
 
     @staticmethod
-    def build_sparse(at_sp, m_sp, j_sp, shifts, dtype=jnp.float32):
-        """Sparse-LU setup: splu of each shifted saddle pencil, then
-        the explicit inverse's velocity-velocity block by solving
-        against [I_n; 0] — only block solve() ever reads. ~6x cheaper
-        than dense getrf+getri at n+np ~ 5k on the deploy VMs (the
-        round-1 bench spent ~150 s of its 'compile+factor' here) and
-        (J, n, n) instead of (J, (n+np)^2) HBM.
-        """
+    def build_sparse_host(at_sp, m_sp, j_sp, shifts, dtype=jnp.float32):
+        """Host half of build_sparse: returns the stacked (J, n, n)
+        numpy vv-block inverses WITHOUT transferring to device — the
+        cacheable artifact for warm MPC restarts (bench.py keys it by
+        config and np.save's it uncompressed)."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         import numpy as np
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
@@ -293,16 +293,36 @@ class SaddleShiftedInverseCache:
         n_p = j_sp.shape[0]
         rhs = np.zeros((n + n_p, n))
         rhs[:n] = np.eye(n)
-        invs = []
-        for sigma in np.asarray(shifts, dtype=np.float64):
+
+        def one(sigma):
             big = sp.bmat(
                 [[at_sp + sigma * m_sp, j_sp.T], [j_sp, None]],
                 format="csc",
             )
             lu = spla.splu(big)
-            invs.append(np.asarray(lu.solve(rhs)[:n], dtype=np.dtype(dtype)))
+            return np.asarray(lu.solve(rhs)[:n], dtype=np.dtype(dtype))
+
+        # SuperLU's C factor/solve release the GIL — thread the shifts
+        # (measured 1.55x on the 2-vCPU deploy host, r3 cold-start).
+        workers = min(len(np.asarray(shifts)), os.cpu_count() or 1)
+        with ThreadPoolExecutor(workers) as ex:
+            invs = list(ex.map(one, np.asarray(shifts, np.float64)))
+        return np.stack(invs)
+
+    @staticmethod
+    def build_sparse(at_sp, m_sp, j_sp, shifts, dtype=jnp.float32):
+        """Sparse-LU setup: splu of each shifted saddle pencil, then
+        the explicit inverse's velocity-velocity block by solving
+        against [I_n; 0] — only block solve() ever reads. ~6x cheaper
+        than dense getrf+getri at n+np ~ 5k on the deploy VMs (the
+        round-1 bench spent ~150 s of its 'compile+factor' there) and
+        (J, n, n) instead of (J, (n+np)^2) HBM.
+        """
+        invs = SaddleShiftedInverseCache.build_sparse_host(
+            at_sp, m_sp, j_sp, shifts, dtype=dtype
+        )
         return SaddleShiftedInverseCache(
-            jnp.asarray(np.stack(invs)), n
+            jnp.asarray(invs), at_sp.shape[0]
         )
 
     def solve(self, i: jax.Array, rhs: jax.Array) -> jax.Array:

@@ -52,7 +52,21 @@ class SolverConfig:
     r_max: int = 40
     dtype: str = "float32"
     imex_scheme: str = "oseen"
-    step_solver: str = "lu"  # 'lu' | 'inverse' (GEMM apply, solvers/saddle.py)
+    # Forward-step solver tier:
+    #   'lu'      device triangular solves on one dense saddle factor;
+    #   'inverse' host-built explicit inverse, one GEMM per solve;
+    #   'fused'   whole linear step pre-contracted into two GEMMs
+    #             (mpc/nse_rollout.py NSEFusedCache — the bench path);
+    #   'matfree' block-Jacobi + pressure-Schur FGMRES over Pallas
+    #             SpMM, no O((n+np)^2) object (config-3+ sizes).
+    step_solver: str = "lu"
+    # Riccati (DRE) cache tier: 'auto' follows step_solver ('matfree'
+    # step -> matfree DRE, else the dense 'inverse' cache); or pin one
+    # of 'lu' | 'inverse' | 'matfree' explicitly.
+    dre_solver: str = "auto"
+    # matfree knobs (both tiers): FGMRES tolerance / restart cycles.
+    fgmres_tol: float = 1e-6
+    fgmres_cycles: int = 8
     feedback: str = "implicit"  # SMW-implicit gains: robust for cheap control
     matmul_precision: str = "highest"
 

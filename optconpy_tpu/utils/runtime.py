@@ -43,3 +43,13 @@ def setup(
     )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def effective_platform() -> str:
+    """The platform kernels will actually run on: an explicitly pinned
+    default DEVICE wins (the test harness pins CPU while the axon TPU
+    plugin keeps default_backend() == 'tpu'); otherwise the default
+    backend. THE single backend-sniffing helper — Pallas-vs-XLA
+    dispatch sites must all agree (ADVICE/VERDICT r2 weak 8)."""
+    dd = jax.config.jax_default_device
+    return dd.platform if dd is not None else jax.default_backend()

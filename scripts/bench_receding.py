@@ -7,7 +7,7 @@ times for the headline throughput metric (VERDICT r1 item 4).
 
 Reports s/macro-step with the honest cost breakdown {rebuild (host
 re-linearization + matfree cache setup), DRE sweep, rollout} and
-writes RECEDING_r02.json. Run:
+writes RECEDING_r03.json. Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_receding.py
 """
@@ -37,7 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from optconpy_tpu import utils
-    from optconpy_tpu.fem.device_conv import ConvKernel
+    from optconpy_tpu.fem.device_conv import FusedConvKernel
     from optconpy_tpu.models.cylinder import cylinder_setup
     from optconpy_tpu.mpc import RHConfig, receding_horizon_mpc
     from optconpy_tpu.riccati import dre_shift_schedule_dae
@@ -49,7 +49,7 @@ def main():
     t0 = time.time()
     np_ops, sys64, cond = cylinder_setup(re=RE, refinement=REFINEMENT)
     sys = sys64.astype(dtype)
-    conv = ConvKernel.build(np_ops["full"], cond, dtype=dtype)
+    conv = FusedConvKernel.build(np_ops["full"], cond, dtype=dtype)
     n, m = sys.b.shape
     log(f"setup {time.time() - t0:.1f}s: n={n}")
 
@@ -85,7 +85,7 @@ def main():
     )
     t_total = time.time() - t0
     vs = np.asarray(out["vs"])
-    assert np.isfinite(vs).all()
+    assert np.isfinite(vs).all(), "non-finite states in the macro loop"
 
     tm = out["timings"]
     mean = {
@@ -101,6 +101,9 @@ def main():
 
     d0 = np.linalg.norm(vs[:, 0] - vbar[None], axis=1).mean()
     dT = np.linalg.norm(vs[:, -1] - vbar[None], axis=1).mean()
+    # Acceptance (VERDICT r2 item 2): the controlled batch must decay
+    # toward the (unstable at Re=100) steady wake.
+    assert dT < d0, (dT, d0)
 
     result = {
         "config": 4,
@@ -121,7 +124,7 @@ def main():
         "perturbation_decay": round(float(dT / d0), 4),
         "wall_total_s": round(t_total, 1),
     }
-    with open("/root/repo/RECEDING_r02.json", "w") as f:
+    with open("/root/repo/RECEDING_r03.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

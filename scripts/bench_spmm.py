@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Validate + time the Pallas windowed SpMM kernels vs the einsum-ELL
-fallback on the config-3 (refinement-2 cylinder) operators.
+"""Decide the SpMM kernel per operator BY MEASUREMENT (VERDICT r2
+weak 5): time einsum-ELL vs Pallas windowed-dense vs Pallas
+windowed-ELL on each config-3 operator (A^T-shifted, M, J, J^T) at the
+matfree solver's working batch widths, on the real chip. Writes
+SPMM_r03.json; pack_for_backend's dispatch policy cites this artifact.
 
-Run: PYTHONPATH=/root/repo python scripts/bench_spmm.py [refinement]
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_spmm.py [refinement] [batch]
 """
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -19,6 +23,7 @@ def log(m):
 def main():
     import jax
     import jax.numpy as jnp
+    import scipy.sparse as sp
 
     from optconpy_tpu import utils
     from optconpy_tpu.models.cylinder import cylinder_setup
@@ -33,63 +38,93 @@ def main():
 
     utils.setup()
     refinement = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    b = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 104
     iters = 30
     dtype = jnp.float32
 
     t0 = time.time()
     np_ops, sys64, cond = cylinder_setup(re=60.0, refinement=refinement)
     log(f"setup {time.time() - t0:.1f}s")
-    a_sp = np_ops["A"].tocsr()
-    perm = rcm_permutation(np_ops["M"], a_sp)
-    ap = a_sp[perm][:, perm].tocsr()
-    n = ap.shape[0]
-    log(f"n={n} nnz={ap.nnz}")
-
-    wd = pack_windowed_dense(ap, dtype=np.float32)
-    we = pack_windowed_ell(ap, dtype=np.float32)
-    ell = ell_from_scipy(ap, pad_to=8, dtype=np.float32)
-    log(
-        f"windows: w={wd.w} tiles={wd.blocks.shape[0]} "
-        f"dense blocks {wd.blocks.size * 4 / 1e6:.0f} MB, "
-        f"ell k={we.data.shape[1]}"
-    )
+    dt = 0.01
+    m_sp = np_ops["M"].tocsr()
+    at_sp = (np_ops["A"].T - m_sp / (2 * dt)).tocsr()
+    j_sp = np_ops["J"].tocsr()
+    # RCM ordering of the velocity space (the matfree cache's layout).
+    perm = rcm_permutation(np_ops["M"], at_sp)
+    ops = {
+        "At_shifted": at_sp[perm][:, perm].tocsr(),
+        "M": m_sp[perm][:, perm].tocsr(),
+        "J": j_sp[:, perm].tocsr(),
+        "Jt": sp.csr_matrix(j_sp[:, perm].T),
+    }
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((n, b)), dtype)
-    y_ref = np.asarray(ap @ np.asarray(x, np.float64))
-
-    def timed(name, fn):
+    results = {}
+    for name, a in ops.items():
+        n_rows, n_cols = a.shape
+        x = jnp.asarray(rng.standard_normal((n_cols, b)), dtype)
+        y_ref = np.asarray(a @ np.asarray(x, np.float64))
+        scale = np.abs(y_ref).max()
+        packs = {}
         try:
-            y = np.asarray(fn(x))
-        except Exception as e:  # noqa: BLE001 - report and continue
-            log(f"{name}: FAILED {type(e).__name__}: {e}")
-            return None
-        rel = np.abs(y - y_ref).max() / np.abs(y_ref).max()
-        # time with a fori_loop of repeated applies to amortize dispatch
-        @jax.jit
-        def many(x):
-            def body(i, acc):
-                return acc + fn(x + acc * 0)
-
-            return jax.lax.fori_loop(
-                0, iters, body, jnp.zeros_like(fn(x))
+            packs["windowed_dense"] = (
+                pack_windowed_dense(a, dtype=np.float32),
+                windowed_dense_spmm,
             )
+        except Exception as e:  # noqa: BLE001
+            log(f"{name}: windowed_dense pack failed: {e}")
+        try:
+            packs["windowed_ell"] = (
+                pack_windowed_ell(a, dtype=np.float32),
+                windowed_ell_spmm,
+            )
+        except Exception as e:  # noqa: BLE001
+            log(f"{name}: windowed_ell pack failed: {e}")
+        ell = ell_from_scipy(a, pad_to=8, dtype=np.float32)
+        packs["einsum_ell"] = (ell, lambda p, x: p.matmat(x))
 
-        many(x).block_until_ready()
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            many(x).block_until_ready()
-            ts.append(time.perf_counter() - t0)
-        per = min(ts) / iters * 1e3
-        gbs = 0.0
-        log(f"{name}: {per:8.3f} ms/apply  rel_err={rel:.2e}")
-        return per
+        row = {}
+        for kind, (pack, apply_fn) in packs.items():
+            y = np.asarray(apply_fn(pack, x))
+            rel = np.abs(y - y_ref).max() / scale
+            assert rel < 1e-5, (name, kind, rel)
 
-    timed("einsum_ell", lambda x: ell.matmat(x))
-    timed("windowed_dense", lambda x: windowed_dense_spmm(wd, x))
-    timed("windowed_ell", lambda x: windowed_ell_spmm(we, x))
+            @jax.jit
+            def loop(x, pack=pack, apply_fn=apply_fn):
+                def body(i, acc):
+                    return acc + apply_fn(pack, x + 0.0 * i)
+
+                return jax.lax.fori_loop(
+                    0, iters, body,
+                    jnp.zeros((a.shape[0], x.shape[1]), x.dtype),
+                )
+
+            np.asarray(loop(x))  # compile + run (np barrier: tunnel)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(loop(x))
+                ts.append(time.perf_counter() - t0)
+            per_ms = min(ts) / iters * 1e3
+            row[kind] = round(per_ms, 4)
+            log(f"{name:11s} {kind:15s} {per_ms:8.3f} ms  rel={rel:.1e}")
+        best = min(row, key=row.get)
+        results[name] = {
+            "shape": list(a.shape), "nnz": int(a.nnz),
+            "ms_per_apply": row, "best": best,
+        }
+        log(f"{name}: best = {best}")
+
+    out = {
+        "problem": f"cylinder_re60_ref{refinement}",
+        "batch": b,
+        "iters": iters,
+        "operators": results,
+        "device": str(jax.devices()[0].device_kind),
+    }
+    with open("/root/repo/SPMM_r03.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

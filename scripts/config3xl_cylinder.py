@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Config-3 XL (VERDICT r2 item 9): refinement-3 cylinder (~60k
+velocity dofs) through the matrix-free stack — a size class the
+reference's architecture (single-process SuperLU, dense factors) could
+not touch interactively. Runs a short matfree DRE sweep + a few
+closed-loop rollout steps, records wall times, FGMRES relres per
+shift, factor feasibility, finiteness. Writes CONFIG3XL_r03.json. Run:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/config3xl_cylinder.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+RE = 60.0
+REFINEMENT = 3
+DT = 0.01
+NTS_GAIN = 4
+NTS_ROLL = 20
+ALPHA = 1e-4
+R_MAX = 32
+N_SHIFTS = 6
+N_ADI = 12
+S_BATCH = 8
+FGMRES_TOL = 1e-6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from optconpy_tpu import utils
+    from optconpy_tpu.fem.device_conv import FusedConvKernel
+    from optconpy_tpu.models.cylinder import cylinder_setup
+    from optconpy_tpu.mpc import (
+        batched_nse_closed_loop,
+        build_nse_stepper_matfree,
+    )
+    from optconpy_tpu.riccati import (
+        build_dre_cache_dae_matfree,
+        dre_backward_sweep,
+        dre_shift_schedule_dae,
+    )
+
+    utils.setup()
+    dtype = jnp.float32
+    log(f"device: {jax.devices()[0].device_kind}")
+
+    t0 = time.time()
+    np_ops, sys64, cond = cylinder_setup(re=RE, refinement=REFINEMENT)
+    sysd = sys64.astype(dtype)
+    n, m = sysd.b.shape
+    t_setup = time.time() - t0
+    log(f"setup {t_setup:.1f}s: n={n} np={sysd.n_p}")
+
+    t0 = time.time()
+    sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"], DT,
+        num_shifts=N_SHIFTS, n_adi=N_ADI,
+    )
+    log(f"shifts {time.time() - t0:.1f}s: [{sig[0]:.1f}, {sig[-1]:.1f}]")
+
+    t0 = time.time()
+    cache = build_dre_cache_dae_matfree(
+        sysd, DT, sig, dtype=dtype, tol=FGMRES_TOL, max_cycles=8
+    )
+    jax.block_until_ready(cache.bj_inv)
+    t_cache = time.time() - t0
+    log(
+        f"matfree cache {t_cache:.1f}s (block {cache.block}, "
+        f"pack {type(cache.at_pack).__name__}, np={cache.n_p})"
+    )
+
+    # Per-shift FGMRES residual probe: one solve per shift on a random
+    # rhs — records actual Krylov convergence at this size.
+    rng = np.random.default_rng(1)
+    probe = jnp.asarray(rng.standard_normal((n, 4)), dtype)
+    relres = []
+    t0 = time.time()
+    for i in range(len(sig)):
+        rv = probe[cache.perm]
+        rp = jnp.zeros((cache.n_p, 4), dtype)
+        _, _, rel = jax.jit(cache._solve_perm)(jnp.int32(i), rv, rp)
+        relres.append(float(np.asarray(rel)))
+        log(f"  shift {i} ({sig[i]:.1f}): relres {relres[-1]:.2e}")
+    log(f"probe solves {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    zs, ks = dre_backward_sweep(
+        sysd, cache, ALPHA, DT, NTS_GAIN,
+        jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+        n_newton=1, r_max=R_MAX,
+    )
+    np.asarray(ks)
+    t_dre = time.time() - t0
+    adi_iters = NTS_GAIN * N_ADI
+    log(f"DRE sweep {t_dre:.1f}s ({adi_iters / t_dre:.2f} ADI iters/s incl compile)")
+
+    z0 = zs[0]
+    jz = np.asarray(sysd.jmat.matmat(z0))
+    feas = float(
+        np.abs(jz).max() / max(np.abs(np.asarray(z0)).max(), 1e-30)
+    )
+    k0 = ks[0]
+    log(f"|J Z|/|Z| = {feas:.2e}, |K| = {float(jnp.abs(k0).max()):.3e}")
+    assert feas < 1e-4, feas
+    assert np.isfinite(np.asarray(k0)).all()
+
+    conv = FusedConvKernel.build(np_ops["full"], cond, dtype=dtype)
+    t0 = time.time()
+    stepper = build_nse_stepper_matfree(
+        np_ops, cond, DT, dtype=dtype, tol=FGMRES_TOL, max_cycles=10
+    )
+    log(f"matfree stepper {time.time() - t0:.1f}s")
+    ks_roll = jnp.broadcast_to(k0, (NTS_ROLL + 1, m, n))
+    ws = jnp.zeros((NTS_ROLL + 1, n), dtype)
+    v0 = jnp.asarray(
+        np.asarray(stepper.vbar)[None]
+        + 1e-3 * rng.standard_normal((S_BATCH, n)),
+        dtype,
+    )
+    t0 = time.time()
+    vs, us, _ = batched_nse_closed_loop(
+        sysd, conv, stepper, ks_roll, ws, v0, ALPHA, DT,
+        feedback="implicit",
+    )
+    vs = np.asarray(vs)
+    t_roll = time.time() - t0
+    finite = bool(np.isfinite(vs).all())
+    log(
+        f"rollout {t_roll:.1f}s ({S_BATCH} scenarios x {NTS_ROLL} steps), "
+        f"finite={finite}"
+    )
+    assert finite
+
+    out = {
+        "config": "3XL",
+        "problem": f"cylinder_re{int(RE)}_ref{REFINEMENT}",
+        "n_state": int(n),
+        "n_pressure": int(sysd.n_p),
+        "solver": "matfree_fgmres_blockjacobi_schur",
+        "setup_s": round(t_setup, 1),
+        "cache_build_s": round(t_cache, 1),
+        "fgmres_relres_per_shift": [round(r, 9) for r in relres],
+        "dre_sweep_s": round(t_dre, 1),
+        "adi_iters_per_s_incl_compile": round(adi_iters / t_dre, 3),
+        "feasibility_JZ": feas,
+        "rollout_s": round(t_roll, 1),
+        "rollout_steps": S_BATCH * NTS_ROLL,
+        "finite": finite,
+        "note": (
+            "no O((n+np)^2) object anywhere; the reference's SuperLU "
+            "factor at this size is ~multi-GB and minutes per "
+            "factorization x 6 shifts"
+        ),
+    }
+    with open("/root/repo/CONFIG3XL_r03.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

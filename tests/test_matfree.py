@@ -59,9 +59,12 @@ def test_matfree_matches_lu_all_shifts(shifted):
         x_mf = np.asarray(mf.solve(jnp.int32(i), rhs))
         rel = np.abs(x_mf - x_lu).max() / np.abs(x_lu).max()
         assert rel < 1e-8, (i, rel)
-    # constraint feasibility without any explicit projection
-    jx = np_ops["J"] @ np.asarray(mf.solve(jnp.int32(2), rhs))
-    assert np.abs(jx).max() < 1e-9 * max(1.0, np.abs(jx).max())
+    # constraint feasibility without any explicit projection,
+    # scaled by the solution magnitude (ADVICE r2: the earlier bound
+    # degenerated to an absolute 1e-9 by referencing |jx| itself)
+    x_mf = np.asarray(mf.solve(jnp.int32(2), rhs))
+    jx = np_ops["J"] @ x_mf
+    assert np.abs(jx).max() < 1e-9 * max(1.0, np.abs(x_mf).max())
 
 
 def test_matfree_apply_full_residual(shifted):
