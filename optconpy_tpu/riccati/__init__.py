@@ -9,8 +9,12 @@ from .shifts import (
 from .are import solve_are_stabilized
 from .validate import dre_step_residual
 from .bernoulli import stabilizing_gain_dae, stabilizing_gain_reduced
-from .lyap_adi import lowrank_adi, lyap_residual_norm
-from .newton_kleinman import newton_adi_are, gain_from_factor
+from .lyap_adi import lowrank_adi, lowrank_adi_hostloop, lyap_residual_norm
+from .newton_kleinman import (
+    gain_from_factor,
+    newton_adi_are,
+    newton_adi_are_host,
+)
 from .dre import (
     dre_shift_schedule,
     dre_shift_schedule_dae,
@@ -32,12 +36,14 @@ __all__ = [
     "cycled_shifts",
     "dre_shifted_interval",
     "lowrank_adi",
+    "lowrank_adi_hostloop",
     "lyap_residual_norm",
     "solve_are_stabilized",
     "dre_step_residual",
     "stabilizing_gain_dae",
     "stabilizing_gain_reduced",
     "newton_adi_are",
+    "newton_adi_are_host",
     "gain_from_factor",
     "dre_shift_schedule",
     "build_dre_cache",

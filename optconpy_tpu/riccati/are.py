@@ -24,7 +24,7 @@ import numpy as np
 from ..golden.dae_reduce import reduce_dae
 from . import shifts as shiftmod
 from .bernoulli import stabilizing_gain_reduced
-from .newton_kleinman import newton_adi_are
+from .newton_kleinman import newton_adi_are, newton_adi_are_host
 
 
 def solve_are_stabilized(
@@ -94,7 +94,12 @@ def solve_are_stabilized(
     else:
         raise ValueError(f"unknown cache kind: {cache}")
 
-    z, k = newton_adi_are(
+    # Matfree caches host-loop the ADI chain (axon runtime stability —
+    # see lyap_adi.lowrank_adi_hostloop).
+    newton_fn = (
+        newton_adi_are_host if cache == "matfree" else newton_adi_are
+    )
+    z, k = newton_fn(
         sys,
         cache_obj,
         alpha,

@@ -22,7 +22,7 @@ import numpy as np
 from ..fem.operators import LTISystem
 from ..solvers.shifted import ShiftedLUCache
 from . import shifts as shiftmod
-from .newton_kleinman import newton_adi_are
+from .newton_kleinman import newton_adi_are, newton_adi_are_host
 
 
 def dre_shift_schedule(
@@ -208,7 +208,21 @@ def dre_backward_sweep(
     (matfree cache) inside scan(nts){scan(newton){scan(adi){while}}}
     crashed the TPU runtime — one nesting level fewer is stable, and
     the per-step dispatch cost (~ms) is noise against the sweep.
+
+    For the MATRIX-FREE cache the ADI/Newton loops are host-looped too
+    (newton_adi_are_host): the round-3 bisect showed >8 FGMRES+Pallas
+    ADI iterations inside one device scan fault the TPU worker at
+    refinement-1 cylinder shapes, data-dependently (zeros pass, the
+    second DRE step's nonzero operands crash). Per-iteration programs
+    are stable everywhere and warm-run in ~10 ms.
     """
+    from ..solvers.matfree import SaddleMatfreeCache
+
+    newton_fn = (
+        newton_adi_are_host
+        if isinstance(cache, SaddleMatfreeCache)
+        else newton_adi_are
+    )
     n, m = sys.b.shape
     dtype = sys.b.dtype
     inv_sqrt_dt = 1.0 / float(np.sqrt(dt))
@@ -222,7 +236,7 @@ def dre_backward_sweep(
     ks = [k]
     for _ in range(nts):
         w_extra = sys.mass.matmat(z) * inv_sqrt_dt
-        z, k = newton_adi_are(
+        z, k = newton_fn(
             sys,
             cache,
             alpha,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.sparse import ELL
 from ..solvers.shifted import ShiftedLUCache
@@ -73,6 +74,62 @@ def lowrank_adi(
         )
         (_, _, z), _ = jax.lax.scan(step, (v1, sigma_seq[0], z), xs)
     return z
+
+
+@jax.jit
+def _adi_first_iter(cache, smw_u, smw_v, w, sig0, idx0):
+    v1 = cache.solve_smw(idx0, smw_u, smw_v, w)
+    return v1, jnp.sqrt(-2.0 * sig0) * v1
+
+
+@jax.jit
+def _adi_next_iter(cache, smw_u, smw_v, mass, v_prev, sig, sig_prev, idx):
+    mv = mass.matmat(v_prev)
+    v = v_prev - (sig + sig_prev) * cache.solve_smw(idx, smw_u, smw_v, mv)
+    return v, jnp.sqrt(-2.0 * sig) * v
+
+
+def lowrank_adi_hostloop(
+    cache,
+    smw_u: jax.Array,
+    smw_v: jax.Array,
+    mass: ELL,
+    w: jax.Array,
+    sigma_seq,
+    idx_seq,
+) -> jax.Array:
+    """lowrank_adi with the iteration loop on the HOST — one jitted
+    program per ADI iteration instead of a length-n_iter device scan.
+
+    Required for the matrix-free cache on the axon TPU runtime: >8
+    FGMRES(+Pallas SpMM) solves nested inside one device scan fault the
+    TPU worker at refinement-1 cylinder shapes (round-3 bisect: the
+    n_adi=16 scan executable crashes on the SECOND newton_adi_are call
+    with nonzero k0/w_extra while n_adi<=8 is stable; per-solve
+    programs are stable at every shape and take ~10 ms warm, so the
+    ~n_iter dispatch overhead is noise). Same math as lowrank_adi; the
+    cache/mass ride as pytree ARGUMENTS so one trace serves every
+    rebuild (receding-horizon macro steps swap cache values, not
+    shapes).
+    """
+    sig_np = np.asarray(sigma_seq, dtype=np.float64)
+    idx_np = np.asarray(idx_seq)
+    n_iter = sig_np.shape[0]
+    dtype = w.dtype
+    v, z0 = _adi_first_iter(
+        cache, smw_u, smw_v, w,
+        jnp.asarray(sig_np[0], dtype), jnp.int32(idx_np[0]),
+    )
+    cols = [z0]
+    for i in range(1, n_iter):
+        v, zi = _adi_next_iter(
+            cache, smw_u, smw_v, mass, v,
+            jnp.asarray(sig_np[i], dtype),
+            jnp.asarray(sig_np[i - 1], dtype),
+            jnp.int32(idx_np[i]),
+        )
+        cols.append(zi)
+    return jnp.concatenate(cols, axis=1)
 
 
 def lyap_residual_norm(

@@ -16,11 +16,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fem.operators import LTISystem
 from ..ops.lowrank import compress
 from ..solvers.shifted import ShiftedLUCache
-from .lyap_adi import lowrank_adi
+from .lyap_adi import lowrank_adi, lowrank_adi_hostloop
 
 
 def gain_from_factor(
@@ -88,4 +89,58 @@ def newton_adi_are(
     (k, z), _ = jax.lax.scan(
         newton_step, (k0, z0), None, length=n_newton
     )
+    return z, k
+
+
+@partial(jax.jit, static_argnames=("out_rank",))
+def _compress_gain(sys, z_full, alpha, out_rank, rtol):
+    z = compress(z_full, out_rank=out_rank, rtol=rtol)
+    return z, gain_from_factor(z, sys, alpha)
+
+
+def newton_adi_are_host(
+    sys: LTISystem,
+    cache,
+    alpha: float,
+    sigma_seq,
+    idx_seq,
+    n_newton: int = 2,
+    out_rank: int = 40,
+    k0: jax.Array | None = None,
+    w_extra: jax.Array | None = None,
+    extra_w_cols: int = 0,
+    compress_rtol: float = 1e-9,
+):
+    """newton_adi_are with Newton AND ADI loops on the HOST.
+
+    Same math, one jitted program per ADI iteration (plus one for
+    compress+gain) instead of scan(newton){scan(adi){...}}. Use this
+    for the matrix-free cache: on the axon TPU runtime, long
+    FGMRES+Pallas chains inside one device scan fault the TPU worker
+    (see lowrank_adi_hostloop). extra_w_cols is accepted for signature
+    parity and unused (w_extra's width is visible on the host).
+    """
+    del extra_w_cols
+    n, m = sys.b.shape
+    dtype = sys.b.dtype
+    ct = sys.c.T
+    k = (
+        jnp.zeros((m, n), dtype) if k0 is None
+        else jnp.asarray(k0, dtype)
+    )
+    sqrt_alpha = float(np.sqrt(alpha))
+    z = jnp.zeros((n, out_rank), dtype)
+    for _ in range(n_newton):
+        parts = [ct]
+        if w_extra is not None:
+            parts.append(w_extra)
+        parts.append(sqrt_alpha * k.T)
+        w = jnp.concatenate(parts, axis=1)
+        z_full = lowrank_adi_hostloop(
+            cache, k.T, sys.b, sys.mass, w, sigma_seq, idx_seq
+        )
+        z, k = _compress_gain(
+            sys, z_full, jnp.asarray(alpha, dtype), out_rank,
+            jnp.asarray(compress_rtol, dtype),
+        )
     return z, k

@@ -128,8 +128,14 @@ def gmres(
         hnorm = jnp.sqrt(_dotcols(w, w))
         # Happy breakdown (column converged): a near-zero w must become
         # a ZERO basis vector (and a zero H entry), not w/eps noise
-        # that pollutes the basis.
-        breakdown = hnorm < jnp.asarray(1e-12, dtype) * safe_beta
+        # that pollutes the basis. The threshold must sit ABOVE the
+        # dtype's MGS roundoff floor (~eps * |w pre-orthogonalization|):
+        # with the old absolute 1e-12 it never fired in f32, so a
+        # converged column produced hnorm -> 0, w/1e-30 -> inf, and the
+        # NaNs took down the DRE sweep (and the axon TPU worker) at
+        # ADI iterations past convergence — round-3 config-4 bisect.
+        eps_bd = jnp.asarray(64.0, dtype) * jnp.finfo(dtype).eps
+        breakdown = hnorm < eps_bd * safe_beta
         h = h.at[j + 1, j].set(jnp.where(breakdown, 0.0, hnorm))
         v_next = jnp.where(
             breakdown[None, :], 0.0, w / jnp.maximum(hnorm, eps)[None, :]
@@ -146,10 +152,20 @@ def gmres(
     e1 = jnp.zeros((q, m + 1), dtype).at[:, 0].set(beta)
     qmat, rmat = jnp.linalg.qr(hq, mode="reduced")  # (q,m+1,m), (q,m,m)
     qtb = jnp.einsum("qki,qk->qi", qmat, e1)
-    # Guard singular R (breakdown columns): nudge zero diagonals.
-    diag = jnp.abs(jnp.diagonal(rmat, axis1=-2, axis2=-1))
-    guard = jnp.where(diag < eps, eps, 0.0)
-    rmat = rmat + guard[..., None] * jnp.eye(m, dtype=dtype)[None]
+    # Guard singular R (breakdown columns) by TRUNCATION, not nudging:
+    # replacing a ~0 diagonal with 1e-30 turned the solve into a 1e30
+    # amplifier of roundoff (y exploded, then inf/NaN in the next
+    # matvec). Instead, rows with a negligible diagonal get y_i = 0 —
+    # the Moore-Penrose behavior for the converged/degenerate Krylov
+    # directions.
+    diag = jnp.abs(jnp.diagonal(rmat, axis1=-2, axis2=-1))  # (q, m)
+    dmax = jnp.max(diag, axis=-1, keepdims=True)
+    sing = diag <= jnp.asarray(64.0, dtype) * jnp.finfo(dtype).eps * (
+        jnp.maximum(dmax, eps)
+    )
+    eye_m = jnp.eye(m, dtype=dtype)[None]
+    rmat = jnp.where(sing[..., None], eye_m, rmat)
+    qtb = jnp.where(sing, 0.0, qtb)
     y = jax.scipy.linalg.solve_triangular(rmat, qtb[..., None])[..., 0]
     x = x0a + jnp.einsum("jnq,qj->nq", zs, y)
     res = jnp.sqrt(_dotcols(b - matvec(x), b - matvec(x)))
@@ -179,6 +195,16 @@ def fgmres(
     b: (n,) or (n, q). Stops when EVERY column's relative residual
     drops below tol (zero columns count as converged). Returns
     (x, relres) with relres the final max column-relative residual.
+
+    Columns are NORMALIZED before the solve (the system is linear in
+    b, so solve(b) = ||b||_col * solve(b / ||b||_col)): badly scaled
+    batches are routine here — an ADI chain's late iterations hand
+    this solver columns spanning 1e-13..1e-8 (riccati/lyap_adi.py),
+    and on the TPU backend the XLA-compiled Arnoldi produced NaNs on
+    that regime (round-3 config-4 bisect: identical f32 arithmetic was
+    finite un-jitted and on CPU). With unit columns the solver only
+    ever sees O(1) data, and per-column relative tolerances become
+    absolute ones.
     """
     squeeze = b.ndim == 1
     if squeeze:
@@ -186,8 +212,9 @@ def fgmres(
     dtype = b.dtype
     bnorm = jnp.sqrt(_dotcols(b, b))
     safe = jnp.maximum(bnorm, jnp.asarray(1e-30, dtype))
+    bs = b / safe[None, :]
     x_init = jnp.zeros_like(b) if x0 is None else (
-        x0[:, None] if squeeze else x0
+        (x0[:, None] if squeeze else x0) / safe[None, :]
     )
 
     def cond_fn(carry):
@@ -196,14 +223,17 @@ def fgmres(
 
     def body_fn(carry):
         x, _, c = carry
-        x_new, res = gmres(matvec, b, x0=x, n_iter=m, precond=precond)
-        rel = jnp.max(res / safe)
+        x_new, res = gmres(matvec, bs, x0=x, n_iter=m, precond=precond)
+        # bs columns are unit (or exactly zero): res IS the relative
+        # residual; zero columns report res = 0.
+        rel = jnp.max(res)
         return (x_new, rel, c + 1)
 
     x, rel, _ = jax.lax.while_loop(
         cond_fn, body_fn,
         (x_init, jnp.asarray(jnp.inf, dtype), jnp.int32(0)),
     )
+    x = x * safe[None, :]
     return (x[:, 0], rel) if squeeze else (x, rel)
 
 

@@ -97,7 +97,7 @@ def main():
             stats = run()
             times.append(time.time() - t0)
         t = min(times)
-        assert int(stats["scenarios"][0]) == s_total
+        assert int(stats["scenarios"]) == s_total
         results[n_dev] = t
         log(
             f"{n_dev} devices x {S_PER_DEVICE} scen/dev: {t*1e3:.0f} ms "

@@ -173,3 +173,56 @@ def test_inverse_caches_match_lu(heat, cavity):
                                    atol=1e-8 * np.abs(x1).max())
         np.testing.assert_allclose(x3, x1, rtol=0,
                                    atol=1e-8 * np.abs(x1).max())
+
+
+def test_gmres_f32_breakdown_stays_finite():
+    """Happy breakdown in f32: columns that converge (or are zero)
+    before the basis fills must yield FINITE, accurate solutions.
+
+    Regression for the round-3 config-4 TPU crash: the old breakdown
+    threshold (absolute 1e-12) never fired in f32, so a converged
+    column's Arnoldi norm hit 0, w/1e-30 -> inf, and the NaNs
+    propagated through the DRE sweep (riccati/lyap_adi.py) and took
+    down the axon TPU worker. The scenario: rhs columns spanning 6
+    orders of magnitude, including an exactly-zero column, solved with
+    a far-too-large basis (n_iter >> iterations-to-convergence).
+    """
+    from optconpy_tpu.solvers.krylov import fgmres
+
+    rng = np.random.default_rng(3)
+    n = 48
+    a = np.eye(n) + 0.05 * rng.standard_normal((n, n))
+    a32 = jnp.asarray(a, jnp.float32)
+
+    def matvec(x):
+        return a32 @ x
+
+    b = rng.standard_normal((n, 4))
+    b[:, 1] *= 1e-6  # tiny column: converges immediately vs col 0
+    b[:, 2] = 0.0  # exactly zero column
+    b[:, 3] *= 1e3
+    b32 = jnp.asarray(b, jnp.float32)
+
+    # Basis far larger than needed: most Arnoldi steps past
+    # convergence are breakdown steps.
+    x, res = gmres(matvec, b32, n_iter=40)
+    x = np.asarray(x)
+    assert np.isfinite(x).all()
+    err = np.abs(a @ x.astype(np.float64) - b)
+    assert err[:, 0].max() < 1e-4 * np.abs(b[:, 0]).max()
+    assert err[:, 3].max() < 1e-4 * np.abs(b[:, 3]).max()
+    assert np.abs(x[:, 2]).max() < 1e-6  # zero rhs -> zero solution
+
+    # Restarted FGMRES: cycles past convergence must not corrupt x.
+    xf, rel = fgmres(matvec, b32, m=20, tol=1e-6, max_cycles=8)
+    xf = np.asarray(xf)
+    assert np.isfinite(xf).all()
+    err = np.abs(a @ xf.astype(np.float64) - b)
+    assert err[:, 0].max() < 1e-4 * np.abs(b[:, 0]).max()
+
+    # The ADI pattern that triggered the crash: re-solving with the
+    # (small) previous solution as rhs, many times over.
+    v = b32
+    for _ in range(8):
+        v, _ = gmres(matvec, 1e-2 * v, n_iter=30)
+    assert np.isfinite(np.asarray(v)).all()
