@@ -660,3 +660,124 @@ def nse_closed_loop_outputs(
     )
     ys = jnp.concatenate([(sys.c @ v0)[None], ys_tail], axis=0)
     return ys, u_sq, v_final
+
+
+def nse_sweep_outputs(
+    sys,
+    conv: ConvKernel,
+    cache_stack: NSEStepCache,
+    ks: jax.Array,
+    v0: jax.Array,
+    alpha: float,
+    dt: float,
+    nts: int,
+    feedback: str = "implicit",
+):
+    """Batched config-5 sweep rollout: R buckets x S scenarios in ONE
+    time scan. The shared convection runs on the FLATTENED (R*S, n)
+    batch through the production batch kernel (Pallas on TPU);
+    per-bucket operators are (R,)-batched GEMMs. The earlier
+    per-scenario double-vmap of nse_closed_loop_outputs materialized
+    (nt, 6, 6, R, S) XLA convection intermediates — 38.7 GB at the
+    8-bucket x 1024-scenario spec scale, an HBM OOM at compile.
+
+    cache_stack: NSEStepCache with every leaf stacked on a leading R
+    axis (build_sweep_gains_and_caches). ks (R, m, n), v0 (R, S, n).
+    Memory-lean like nse_closed_loop_outputs: no state trajectory is
+    kept. Returns (ys (R, S, nts+1, p), u_sq (R, S, nts),
+    v_final (R, S, n)).
+    """
+    r_b, s_b, n = v0.shape
+    m_in = sys.m_in
+    n_p = cache_stack.fp.shape[-1]
+    vbar = cache_stack.vbar  # (R, n)
+    cn = cache_stack.rhs_half is not None
+
+    def conv_flat(v):
+        return conv.conv_inner_batch(
+            v.reshape(r_b * s_b, n)
+        ).reshape(r_b, s_b, n)
+
+    def mass_flat(v):
+        return sys.mass.matmat(
+            v.reshape(r_b * s_b, n).T
+        ).T.reshape(r_b, s_b, n)
+
+    def q_of(v):
+        return conv_flat(v) - jnp.einsum(
+            "rij,rsj->rsi", cache_stack.l1_imp, v
+        )
+
+    def rhs_base(v, q, q_prev):
+        r = mass_flat(v) / dt - cache_stack.fv[:, None, :]
+        if cn:
+            r = r + jnp.einsum(
+                "rij,rsj->rsi", cache_stack.rhs_half, v
+            ) - (1.5 * q - 0.5 * q_prev)
+        else:
+            r = r - q
+        return r
+
+    apply_r = jax.vmap(lambda lu, rv, fp: lu.apply(rv, fp))
+    fp_cols = jnp.broadcast_to(
+        cache_stack.fp[:, :, None], (r_b, n_p, s_b)
+    )
+
+    def solve(rhs):  # (R, S, n) -> (R, S, n)
+        out = apply_r(
+            cache_stack.lu, jnp.swapaxes(rhs, 1, 2), fp_cols
+        )
+        return jnp.swapaxes(out, 1, 2)
+
+    def outputs(v):
+        return jnp.einsum("pn,rsn->rsp", sys.c, v)
+
+    if feedback == "implicit":
+        gmat = apply_r(
+            cache_stack.lu,
+            jnp.broadcast_to(sys.b[None], (r_b, n, m_in)),
+            jnp.zeros((r_b, n_p, m_in), sys.b.dtype),
+        )  # (R, n, m)
+        s_mat = jnp.eye(m_in, dtype=sys.b.dtype)[None] + jnp.einsum(
+            "rmn,rnk->rmk", ks, gmat
+        )  # (R, m, m)
+        uff = jnp.einsum("rmn,rn->rm", ks, vbar)  # (R, m)
+        buff = jnp.einsum("nm,rm->rn", sys.b, uff)  # (R, n)
+
+        def step(carry, _):
+            v, q_prev = carry
+            q = q_of(v)
+            rhs_v = rhs_base(v, q, q_prev) + buff[:, None, :]
+            x0 = solve(rhs_v)
+            kx0 = jnp.einsum("rmn,rsn->rsm", ks, x0)
+            corr = jnp.linalg.solve(
+                s_mat[:, None], kx0[..., None]
+            )[..., 0]  # (R, S, m)
+            v_next = x0 - jnp.einsum("rnm,rsm->rsn", gmat, corr)
+            u = -jnp.einsum(
+                "rmn,rsn->rsm", ks, v_next - vbar[:, None, :]
+            )
+            return (v_next, q), (outputs(v_next), jnp.sum(u * u, -1))
+
+    else:
+
+        def step(carry, _):
+            v, q_prev = carry
+            u = -jnp.einsum(
+                "rmn,rsn->rsm", ks, v - vbar[:, None, :]
+            )
+            q = q_of(v)
+            rhs_v = rhs_base(v, q, q_prev) + jnp.einsum(
+                "nm,rsm->rsn", sys.b, u
+            )
+            v_next = solve(rhs_v)
+            return (v_next, q), (outputs(v_next), jnp.sum(u * u, -1))
+
+    (v_final, _), (ys_tail, u_sq) = jax.lax.scan(
+        step, (v0, q_of(v0)), None, length=nts
+    )
+    ys = jnp.concatenate(
+        [outputs(v0)[:, :, None, :], jnp.moveaxis(ys_tail, 0, 2)],
+        axis=2,
+    )
+    return ys, jnp.moveaxis(u_sq, 0, 2), v_final

@@ -7,7 +7,7 @@ scenarios per bucket. Bucket operands are stacked pytrees vmapped on
 the leading axis; the scenario axis inside each bucket is sharded over
 the mesh with shard_map, and aggregate statistics ride psum over
 ICI/DCN (SURVEY.md SS5.8). The rollout kernel is the memory-lean
-nse_closed_loop_outputs (no state trajectories in HBM).
+nse_sweep_outputs (one batched time scan, no state trajectories in HBM).
 
 Geometry is shared across buckets (same mesh, different viscosity /
 steady state), so ONE ConvKernel serves the whole sweep and only the
@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..mpc.nse_rollout import (
     NSEStepCache,
     build_nse_stepper,
-    nse_closed_loop_outputs,
+    nse_sweep_outputs,
 )
 
 
@@ -84,16 +84,15 @@ def sweep_rollout(
 ):
     """Unsharded sweep rollout: v0 (R, S, n) -> (ys (R, S, nts+1, p),
     u_sq (R, S, nts), v_final (R, S, n)). sys supplies the shared
-    mass/b/c; per-bucket operands come from the stacked cache."""
+    mass/b/c; per-bucket operands come from the stacked cache.
 
-    def per_bucket(cache_r, k_r, v0_r):
-        return jax.vmap(
-            lambda w: nse_closed_loop_outputs(
-                sys, conv, cache_r, k_r, w, alpha, dt, nts
-            )
-        )(v0_r)
-
-    return jax.vmap(per_bucket)(cache_stack, ks, v0)
+    One batched time scan over all R x S rollouts (nse_sweep_outputs):
+    the shared convection runs on the flattened batch through the
+    production kernel; the earlier per-scenario double-vmap OOM'd HBM
+    on (nt, 6, 6, R, S) XLA convection intermediates at spec scale."""
+    return nse_sweep_outputs(
+        sys, conv, cache_stack, ks, v0, alpha, dt, nts
+    )
 
 
 def sharded_sweep_rollout(
