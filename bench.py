@@ -85,78 +85,47 @@ def main() -> None:
     t_shifts = time.time() - t0
     # Warm-restart path (the reference's load_or_comp contract,
     # SURVEY.md SS3.5): the shifted-inverse stack depends only on
-    # (problem, dt, shift schedule, dtype) — cache it uncompressed in
-    # data/ so a cold MPC restart loads ~1 GB from disk instead of
-    # re-running 12 sparse-LU inverse builds.
-    import hashlib
+    # (problem, dt, shift schedule, dtype) — disk-cached uncompressed
+    # via riccati.load_or_build_inverse_stack. The bench always pays
+    # the BUILT path (fresh-checkout cold start, the VERDICT r3 item-1
+    # number), then times the disk reload separately so both restart
+    # modes are recorded in one run.
     import os
 
     from optconpy_tpu.ops.sparse import ell_to_scipy
+    from optconpy_tpu.riccati import load_or_build_inverse_stack
     from optconpy_tpu.solvers.saddle import SaddleShiftedInverseCache
 
-    inv_key = hashlib.sha256(
-        repr((RE, REFINEMENT, DT, np.asarray(sig).tobytes(), "f32"))
-        .encode()
-    ).hexdigest()[:12]
-    inv_path = f"data/bench_dreinv_{inv_key}.npy"
+    m_sp_e = ell_to_scipy(sys.mass)
+    a_sp_e = ell_to_scipy(sys.stiff)
+    j_sp_e = ell_to_scipy(sys.jmat)
+    at_til_sp = (a_sp_e.T - m_sp_e / (2.0 * DT)).tocsr()
+    inv_key = f"bench_cyl_re{int(RE)}_ref{REFINEMENT}_dt{DT}"
+
     t0 = time.time()
-    if os.path.exists(inv_path):
-        inv_np = np.load(inv_path)
-        inv_source = "disk"
-        dre_cache = SaddleShiftedInverseCache(jnp.asarray(inv_np), n)
-        jax.block_until_ready(dre_cache.inv)
-        t_cachebuild = time.time() - t0
-    else:
-        # Per-shift pipelined build: each sparse-LU inverse block
-        # starts its (async) device transfer the moment the worker
-        # thread finishes it, overlapping the tunnel DMA (measured
-        # 20-40 MiB/s, the variable part of the cold start) with the
-        # remaining SuperLU solves.
-        from concurrent.futures import ThreadPoolExecutor
-
-        import scipy.sparse as sp
-        import scipy.sparse.linalg as spla
-
-        m_sp = ell_to_scipy(sys.mass)
-        a_sp = ell_to_scipy(sys.stiff)
-        j_sp = ell_to_scipy(sys.jmat)
-        at_til_sp = (a_sp.T - m_sp / (2.0 * DT)).tocsr()
-        n_p = j_sp.shape[0]
-        rhs_eye = np.zeros((n + n_p, n))
-        rhs_eye[:n] = np.eye(n)
-
-        def one(sigma):
-            big = sp.bmat(
-                [[at_til_sp + sigma * m_sp, j_sp.T], [j_sp, None]],
-                format="csc",
-            )
-            return np.asarray(
-                spla.splu(big).solve(rhs_eye)[:n], dtype=np.float32
-            )
-
-        t_build_cpu = 0.0
-        with ThreadPoolExecutor(2) as ex:
-            futs = [ex.submit(one, s) for s in np.asarray(sig)]
-            np_blocks, dev_blocks = [], []
-            for f in futs:
-                blk = f.result()
-                np_blocks.append(blk)
-                dev_blocks.append(jnp.asarray(blk))  # async DMA
-            t_build_cpu = time.time() - t0
-        dre_cache = SaddleShiftedInverseCache(jnp.stack(dev_blocks), n)
-        jax.block_until_ready(dre_cache.inv)
-        t_cachebuild = time.time() - t0
-        inv_np = np.stack(np_blocks)
-        inv_source = "built"
-        os.makedirs("data", exist_ok=True)
-        np.save(inv_path, inv_np)
-        log(
-            f"  (cache sub-phases: splu builds {t_build_cpu:.1f}s, "
-            f"+transfer drain {t_cachebuild - t_build_cpu:.1f}s)"
-        )
+    inv_np, inv_source = load_or_build_inverse_stack(
+        at_til_sp, m_sp_e, j_sp_e, np.asarray(sig), np.float32,
+    )  # no cache_key: always builds (the honest cold path)
+    t_build_host = time.time() - t0
+    dre_cache = SaddleShiftedInverseCache(jnp.asarray(inv_np), n)
+    jax.block_until_ready(dre_cache.inv)
+    t_cachebuild = time.time() - t0
+    inv_source = "built"
+    # Disk round trip: save once, time the warm reload (what a real
+    # MPC restart with a populated data/ pays instead of the build).
+    os.makedirs("data", exist_ok=True)
+    inv_path = f"data/bench_dreinv_{inv_key}.npy"
+    np.save(inv_path, inv_np)
+    t0 = time.time()
+    inv_reload = np.load(inv_path)
+    jax.block_until_ready(jnp.asarray(inv_reload))
+    t_disk_warm = time.time() - t0
+    del inv_reload
     log(
-        f"DRE cold-start: shifts {t_shifts:.1f}s, "
-        f"inverse-cache {inv_source}+transfer {t_cachebuild:.1f}s"
+        f"DRE cold-start: shifts {t_shifts:.1f}s, inverse-cache "
+        f"built {t_build_host:.1f}s (+transfer "
+        f"{t_cachebuild - t_build_host:.1f}s), disk-warm reload "
+        f"{t_disk_warm:.1f}s"
     )
     t0 = time.time()
     ss_dev = jnp.asarray(sigma_seq, dtype)
@@ -238,10 +207,20 @@ def main() -> None:
         + 4 * m * n  # feedback gain + B u
     )
     achieved_tflops = flops_step * solves_per_s / 1e12
-    v5e_bf16_peak = 197.0  # TFLOP/s
-    # f32 roofline under matmul precision 'highest' (6-pass bf16
-    # emulation of f32 on the MXU, utils/runtime.py): peak/6.
+    v5e_bf16_peak = 197.0  # TFLOP/s (spec sheet)
+    # f32 roofline under matmul precision 'highest': the MEASURED
+    # attainable GEMM rate from scripts/measure_roofline.py when its
+    # artifact exists (VERDICT r3 weak 7); the peak/6 6-pass-emulation
+    # model otherwise.
+    roofline_src = "model_peak_over_6"
     v5e_f32_highest_peak = v5e_bf16_peak / 6.0
+    try:
+        with open("ROOFLINE_r04.json") as f:
+            roof = json.load(f)
+        v5e_f32_highest_peak = roof["tiers"]["highest"]["tflops"]
+        roofline_src = "measured"
+    except (OSError, KeyError):
+        pass
     mfu_bf16 = achieved_tflops / v5e_bf16_peak
     mfu_f32 = achieved_tflops / v5e_f32_highest_peak
     log(
@@ -249,7 +228,7 @@ def main() -> None:
         f"{achieved_tflops:.2f} TFLOP/s "
         f"({100 * mfu_bf16:.1f}% of v5e bf16 peak, "
         f"{100 * mfu_f32:.1f}% of the {v5e_f32_highest_peak:.1f} TF/s "
-        f"f32-highest roofline)"
+        f"{roofline_src} f32-highest roofline)"
     )
 
     # Single-scenario latency: what a real-time MPC loop would see.
@@ -387,10 +366,16 @@ def main() -> None:
             "achieved_tflops": round(achieved_tflops, 2),
             "mfu_vs_v5e_bf16_peak": round(mfu_bf16, 4),
             "mfu_vs_v5e_f32_highest_peak": round(mfu_f32, 4),
+            "f32_highest_roofline_tflops": round(
+                v5e_f32_highest_peak, 1
+            ),
+            "f32_highest_roofline_source": roofline_src,
             "dre_cold_start_s": {
                 "shifts": round(t_shifts, 1),
                 "inverse_cache_build": round(t_cachebuild, 1),
+                "inverse_cache_build_host": round(t_build_host, 1),
                 "inverse_cache_source": inv_source,
+                "disk_warm_reload": round(t_disk_warm, 1),
                 "xla_compile_first_run": round(t_compile, 1),
                 "total": round(t_cold_total, 1),
             },

@@ -51,6 +51,14 @@ class RHConfig:
     fgmres_tol: float = 1e-6
     fgmres_cycles: int = 8
     kind: str = "auto"  # matfree SpMM pack: 'windowed' | 'ell' | 'auto'
+    # ADI iterations for macro steps AFTER the first: the warm start
+    # from k_prev leaves the Newton step nearly converged (measured
+    # 2.9e-9 one-Newton warm-start residual, tests/test_receding_mpc),
+    # so later macros can run a truncated shift schedule. None = full.
+    warm_n_adi: int | None = None
+    # Refresh (not rebuild) the matfree caches on macro steps after
+    # the first: operator values update, preconditioners persist.
+    refresh_caches: bool = True
 
 
 def _rebuild_caches(
@@ -82,9 +90,20 @@ def _rebuild_caches(
 
 def _rebuild_caches_matfree(
     np_ops: dict, cond, vnom_free, cfg: RHConfig, sig, dtype,
+    prev: tuple | None = None,
 ):
     """Host-side sparse re-linearization + matrix-free cache rebuild
     for one macro step (no O((n+np)^2) object is ever formed).
+
+    prev: optional (stepper, dre_cache) from the PREVIOUS macro step.
+    When given, only the operator values are refreshed in the cached
+    orderings (SaddleMatfreeCache.refresh_operator) and the
+    block-Jacobi/pressure-Schur preconditioners are KEPT — the full
+    rebuild was 90% preconditioner inversion (cProfile r4: 15.5 s
+    np.linalg.inv + 4.9 s np.stack of 20.4 s/macro), while the actual
+    re-linearization (convection_matrices) costs 0.15 s. FGMRES
+    tolerance is enforced against the refreshed EXACT operator, so
+    this changes iteration counts only, never accuracy.
 
     Returns (NSEMatfreeStepCache, dre SaddleMatfreeCache)."""
     import scipy.sparse as sp
@@ -99,21 +118,39 @@ def _rebuild_caches_matfree(
     vnom_full[cond.dirichlet] = cond.g
     vnom_full[cond.free] = np.asarray(vnom_free, dtype=np.float64)
 
+    l1, l2 = convection_matrices(full, vnom_full)
+    m_sp = sp.csr_matrix(np_ops["M"])
+    a_lin = sp.csr_matrix(cond.mat_inner(full["A"] - l1 - l2))
+    c = 1.0 / (2.0 * cfg.dt)
+    at_dre = (a_lin.T - c * m_sp).tocsr()
+
+    if prev is not None:
+        import dataclasses
+
+        from ..ops.sparse import ell_from_scipy
+
+        stepper_prev, dre_prev = prev
+        a_stokes_i = sp.csr_matrix(cond.mat_inner(full["A"]))
+        l1_i = sp.csr_matrix(cond.mat_inner(l1))
+        lin = (a_stokes_i - l1_i).tocsr()
+        stepper = dataclasses.replace(
+            stepper_prev,
+            saddle=stepper_prev.saddle.refresh_operator((-lin).tocsr()),
+            l1_pack=ell_from_scipy(
+                l1_i, pad_to=8, dtype=np.dtype(dtype)
+            ),
+            vbar=jnp.asarray(cond.restrict(vnom_full), dtype),
+        )
+        return stepper, dre_prev.refresh_operator(at_dre)
+
     np_macro = dict(np_ops, vbar_full=vnom_full)
     stepper = build_nse_stepper_matfree(
         np_macro, cond, cfg.dt, dtype=dtype,
         tol=cfg.fgmres_tol, max_cycles=cfg.fgmres_cycles, kind=cfg.kind,
     )
-
-    l1, l2 = convection_matrices(full, vnom_full)
-    a_lin = sp.csr_matrix(
-        cond.mat_inner(full["A"] - l1 - l2)
-    )
-    m_sp = sp.csr_matrix(np_ops["M"])
     j_sp = sp.csr_matrix(np_ops["J"])
-    c = 1.0 / (2.0 * cfg.dt)
     dre_cache = SaddleMatfreeCache.build(
-        (a_lin.T - c * m_sp).tocsr(), m_sp, j_sp, np.asarray(sig),
+        at_dre, m_sp, j_sp, np.asarray(sig),
         schur_offset=-c, dtype=dtype,
         tol=cfg.fgmres_tol, max_cycles=cfg.fgmres_cycles, kind=cfg.kind,
     )
@@ -199,6 +236,7 @@ def receding_horizon_mpc(
     ks_hist = []
     timings = []
     vnom = vbar0
+    prev_caches = None
 
     for macro in range(start_macro, n_macro):
         t_macro0 = _time.time()
@@ -213,7 +251,13 @@ def receding_horizon_mpc(
 
             stepper, dre_cache = _rebuild_caches_matfree(
                 np_ops, cond, np.asarray(vnom), cfg, sig, dtype,
+                prev=(
+                    prev_caches
+                    if cfg.refresh_caches and macro > start_macro
+                    else None
+                ),
             )
+            prev_caches = (stepper, dre_cache)
             # Linearize about vnom, but regulate to the target vbar0.
             cache = dataclasses.replace(stepper, vbar=vbar0)
         else:
@@ -228,9 +272,17 @@ def receding_horizon_mpc(
             jax.block_until_ready(jax.tree.leaves(cache))
             t_rebuild = _time.time() - t_macro0
             t_dre0 = _time.time()
+        # Warm macros run a truncated ADI schedule: k_prev seeds the
+        # Newton so close to the solution that the full shift cycle is
+        # redundant (cfg.warm_n_adi; one extra compile for the shorter
+        # loop shape, shared by all later macros).
+        n_adi_k = len(sigma_seq)
+        if cfg.warm_n_adi is not None and macro > start_macro:
+            n_adi_k = min(cfg.warm_n_adi, n_adi_k)
         zs, ks = dre_backward_sweep(
             sys, dre_cache, cfg.alpha, cfg.dt, cfg.horizon,
-            jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+            jnp.asarray(sigma_seq[:n_adi_k], dtype),
+            jnp.asarray(idx_seq[:n_adi_k]),
             n_newton=cfg.n_newton, r_max=cfg.r_max, k_init=k_prev,
         )
         k_now = ks[0]

@@ -6,7 +6,7 @@ from .param_sweep import (
     sharded_sweep_rollout,
     sweep_rollout,
 )
-from .sharded_mpc import sharded_closed_loop
+from .sharded_mpc import sharded_closed_loop, sharded_nse_rollout
 
 __all__ = [
     "assign_re_buckets",
@@ -16,6 +16,7 @@ __all__ = [
     "scenario_mesh",
     "shard_scenarios",
     "sharded_closed_loop",
+    "sharded_nse_rollout",
     "sharded_sweep_rollout",
     "sweep_rollout",
 ]

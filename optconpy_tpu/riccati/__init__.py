@@ -22,6 +22,7 @@ from .dre import (
     build_dre_cache_dae,
     build_dre_cache_dae_krylov,
     build_dre_cache_dae_matfree,
+    load_or_build_inverse_stack,
     dre_backward_sweep,
 )
 
@@ -32,6 +33,7 @@ __all__ = [
     "build_dre_cache_dae",
     "build_dre_cache_dae_krylov",
     "build_dre_cache_dae_matfree",
+    "load_or_build_inverse_stack",
     "wachspress_shifts",
     "cycled_shifts",
     "dre_shifted_interval",

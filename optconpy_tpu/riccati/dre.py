@@ -90,13 +90,58 @@ def dre_shift_schedule_dae(
     return sig, np.tile(sig, reps)[:n_adi], np.tile(idx, reps)[:n_adi]
 
 
+def load_or_build_inverse_stack(
+    at_til_sp, m_sp, j_sp, sig, dtype, cache_key=None, cache_dir=None,
+):
+    """The (J, n, n) shifted-saddle inverse stack as a host array, with
+    the reference's load_or_comp disk contract (SURVEY.md SS3.5): keyed
+    by cache_key + package version, stored UNCOMPRESSED (npz-compress
+    of ~0.5 GB of float noise costs more than the splu rebuild).
+
+    Returns (inv_np, source) with source in {'built', 'disk'} so cold
+    starts can report which path they paid (BENCH dre_cold_start_s).
+    """
+    import hashlib
+    import os
+
+    from ..solvers.saddle import SaddleShiftedInverseCache
+    from ..utils.cache import DEFAULT_CACHE_DIR, _code_salt
+
+    path = None
+    if cache_key is not None:
+        digest = hashlib.sha256(
+            repr((
+                cache_key, np.asarray(sig, np.float64).tobytes(),
+                str(np.dtype(dtype)),
+            )).encode()
+        ).hexdigest()[:12]
+        d = cache_dir or DEFAULT_CACHE_DIR
+        path = os.path.join(d, f"dreinv_{digest}-{_code_salt()}.npy")
+        if os.path.exists(path):
+            return np.load(path), "disk"
+    inv_np = SaddleShiftedInverseCache.build_sparse_host(
+        at_til_sp, m_sp, j_sp, np.asarray(sig), dtype=dtype
+    )
+    if path is not None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp.npy"
+        np.save(tmp, inv_np)
+        os.replace(tmp, path)
+    return inv_np, "built"
+
+
 def build_dre_cache_dae(
-    sys, dt: float, sig: np.ndarray, dtype=None, solver: str = "lu"
+    sys, dt: float, sig: np.ndarray, dtype=None, solver: str = "lu",
+    cache_key: str | None = None, cache_dir: str | None = None,
 ):
     """Shifted saddle cache of [[Atil^T + sigma M, J^T], [J, 0]].
 
     solver: 'lu' or 'inverse' (GEMM apply — solvers/saddle.py; built
-    through SPARSE LU factorizations, the cheap setup path)."""
+    through SPARSE LU factorizations, the cheap setup path).
+    cache_key: optional stable string (problem/Re/dt/refinement) — with
+    solver='inverse' the host inverse stack is disk-cached under it
+    (load_or_build_inverse_stack) so warm restarts skip the splu build.
+    """
     from ..solvers.saddle import (
         SaddleShiftedInverseCache,
         SaddleShiftedLUCache,
@@ -109,9 +154,13 @@ def build_dre_cache_dae(
         a_sp = ell_to_scipy(sys.stiff)
         j_sp = ell_to_scipy(sys.jmat)
         at_til_sp = (a_sp.T - m_sp / (2.0 * dt)).tocsr()
-        return SaddleShiftedInverseCache.build_sparse(
+        inv_np, _src = load_or_build_inverse_stack(
             at_til_sp, m_sp, j_sp, np.asarray(sig),
-            dtype=dtype or sys.b.dtype,
+            dtype or sys.b.dtype, cache_key=cache_key,
+            cache_dir=cache_dir,
+        )
+        return SaddleShiftedInverseCache(
+            jnp.asarray(inv_np), a_sp.shape[0]
         )
 
     m_d, a_d, j_d = sys.dense()

@@ -104,7 +104,7 @@ def newton_adi_are_host(
     alpha: float,
     sigma_seq,
     idx_seq,
-    n_newton: int = 2,
+    n_newton: int = 8,  # matches newton_adi_are's default (ADVICE r3)
     out_rank: int = 40,
     k0: jax.Array | None = None,
     w_extra: jax.Array | None = None,

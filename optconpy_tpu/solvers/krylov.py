@@ -158,6 +158,12 @@ def gmres(
     # matvec). Instead, rows with a negligible diagonal get y_i = 0 —
     # the Moore-Penrose behavior for the converged/degenerate Krylov
     # directions.
+    # NOTE (ADVICE r3): the 64*eps*dmax cut also zeroes legitimate but
+    # ill-conditioned Krylov directions whose R diagonal sits > ~1e5
+    # below the largest (f32). For the intended near-identity
+    # PRECONDITIONED operators that regime never occurs; an
+    # unpreconditioned ill-conditioned caller sees slower single-cycle
+    # convergence, recovered by FGMRES restarts.
     diag = jnp.abs(jnp.diagonal(rmat, axis1=-2, axis2=-1))  # (q, m)
     dmax = jnp.max(diag, axis=-1, keepdims=True)
     sing = diag <= jnp.asarray(64.0, dtype) * jnp.finfo(dtype).eps * (
@@ -211,11 +217,19 @@ def fgmres(
         b = b[:, None]
     dtype = b.dtype
     bnorm = jnp.sqrt(_dotcols(b, b))
-    safe = jnp.maximum(bnorm, jnp.asarray(1e-30, dtype))
+    tiny = jnp.asarray(1e-30, dtype)
+    safe = jnp.maximum(bnorm, tiny)
     bs = b / safe[None, :]
-    x_init = jnp.zeros_like(b) if x0 is None else (
-        (x0[:, None] if squeeze else x0) / safe[None, :]
-    )
+    if x0 is None:
+        x_init = jnp.zeros_like(b)
+    else:
+        # A zero/tiny-norm rhs column with a nonzero warm-start column
+        # would amplify x0 by up to 1/tiny (ADVICE r3): such columns
+        # fall back to the zero initial guess instead.
+        x0c = x0[:, None] if squeeze else x0
+        x_init = jnp.where(
+            (bnorm > tiny)[None, :], x0c / safe[None, :], 0.0
+        )
 
     def cond_fn(carry):
         _, rel, c = carry

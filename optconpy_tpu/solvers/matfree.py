@@ -194,6 +194,57 @@ class SaddleMatfreeCache:
             tol=tol,
         )
 
+    def refresh_operator(self, at_sp_new, m_sp=None) -> "SaddleMatfreeCache":
+        """Cheap per-macro-step value refresh (receding-horizon MPC,
+        VERDICT r3 item 4): repack ONLY the system operator at_pack for
+        a re-linearized at (same mesh/BC geometry; M, J, orderings and
+        the pressure-Schur inverse are unchanged) and by default KEEP
+        the block-Jacobi velocity preconditioner.
+
+        Keeping the preconditioner is sound: FGMRES enforces the solve
+        tolerance against the EXACT refreshed operator, so a stale
+        preconditioner can only change iteration counts, never
+        accuracy — and re-linearization drift across one MPC apply
+        window is a small perturbation of the diagonal blocks. The
+        full rebuild spent 15.5 s/macro in f64 np.linalg.inv on those
+        blocks + 4.9 s stacking them (cProfile, r4); this refresh costs
+        one RCM-permuted repack (~0.05 s).
+
+        m_sp: pass the (geometry-fixed) mass matrix to ALSO re-invert
+        the preconditioner blocks about the new operator, in f32
+        (preconditioner quality needs no f64) — for callers that drift
+        far from the build point.
+        """
+        import dataclasses
+
+        import numpy as np
+        import scipy.sparse as sp
+
+        from ..ops.pallas_spmm import WindowedDense, WindowedELL
+
+        perm = np.asarray(self.perm)
+        at_r = sp.csr_matrix(at_sp_new)[perm][:, perm].tocsr()
+        dtype = self.shifts.dtype
+        kind = (
+            "windowed"
+            if isinstance(self.at_pack, (WindowedDense, WindowedELL))
+            else "ell"
+        )
+        new = {"at_pack": _pack_operator(at_r, kind, dtype)}
+        if m_sp is not None:
+            m_r = (
+                sp.csr_matrix(m_sp)[perm][:, perm]
+                .tocsr().astype(np.float32)
+            )
+            at32 = at_r.astype(np.float32)
+            n_pad = int(self.bj_inv.shape[1]) * self.block
+            bj = np.stack([
+                _block_jacobi_inverses(at32 + s * m_r, self.block, n_pad)
+                for s in np.asarray(self.shifts, np.float32)
+            ])
+            new["bj_inv"] = jnp.asarray(bj, dtype)
+        return dataclasses.replace(self, **new)
+
     # ---- internals (operate in the permuted ordering) ----
 
     def _bj_apply(self, bj_i: jax.Array, x: jax.Array) -> jax.Array:

@@ -274,11 +274,22 @@ class SaddleShiftedInverseCache:
         return SaddleShiftedInverseCache(jnp.stack(invs), n)
 
     @staticmethod
-    def build_sparse_host(at_sp, m_sp, j_sp, shifts, dtype=jnp.float32):
+    def build_sparse_host(
+        at_sp, m_sp, j_sp, shifts, dtype=jnp.float32, panel_cols=512,
+    ):
         """Host half of build_sparse: returns the stacked (J, n, n)
         numpy vv-block inverses WITHOUT transferring to device — the
-        cacheable artifact for warm MPC restarts (bench.py keys it by
-        config and np.save's it uncompressed)."""
+        cacheable artifact for warm MPC restarts (riccati/dre.py keys
+        it by config and np.save's it uncompressed).
+
+        The identity RHS is solved in panel_cols-column panels rather
+        than one dense (n+np, n) block: the monolithic solve carries a
+        ~180 MB working set per thread and regressed 6 s -> 266 s per
+        shift under co-tenant contention on the 2-core deploy box
+        (BENCH_r03 post-mortem, DIAG_INV_r04.json); 512-column panels
+        keep the working set ~10 MB and measured 3.7 s/shift on the
+        same box — contention-resistant AND faster when idle.
+        """
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -291,8 +302,6 @@ class SaddleShiftedInverseCache:
         j_sp = sp.csr_matrix(j_sp)
         n = at_sp.shape[0]
         n_p = j_sp.shape[0]
-        rhs = np.zeros((n + n_p, n))
-        rhs[:n] = np.eye(n)
 
         def one(sigma):
             big = sp.bmat(
@@ -300,7 +309,14 @@ class SaddleShiftedInverseCache:
                 format="csc",
             )
             lu = spla.splu(big)
-            return np.asarray(lu.solve(rhs)[:n], dtype=np.dtype(dtype))
+            inv = np.empty((n, n), dtype=np.dtype(dtype))
+            rhs = np.zeros((n + n_p, panel_cols))
+            for lo in range(0, n, panel_cols):
+                w = min(panel_cols, n - lo)
+                rhs[:, :w] = 0.0
+                rhs[lo : lo + w, :w] = np.eye(w)
+                inv[:, lo : lo + w] = lu.solve(rhs[:, :w])[:n]
+            return inv
 
         # SuperLU's C factor/solve release the GIL — thread the shifts
         # (measured 1.55x on the 2-vCPU deploy host, r3 cold-start).

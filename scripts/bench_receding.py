@@ -7,7 +7,8 @@ times for the headline throughput metric (VERDICT r1 item 4).
 
 Reports s/macro-step with the honest cost breakdown {rebuild (host
 re-linearization + matfree cache setup), DRE sweep, rollout} and
-writes RECEDING_r03.json. Run:
+writes RECEDING_r04.json (fast refresh variant vs full-rebuild
+reference). Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_receding.py
 """
@@ -53,10 +54,6 @@ def main():
     n, m = sys.b.shape
     log(f"setup {time.time() - t0:.1f}s: n={n}")
 
-    cfg = RHConfig(
-        horizon=8, apply=8, dt=DT, alpha=ALPHA, n_newton=1, r_max=32,
-        solver="matfree",
-    )
     sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
         np_ops["A"], np_ops["M"], np_ops["J"], DT,
         num_shifts=8, n_adi=16,
@@ -68,42 +65,70 @@ def main():
         vbar[None] + 1e-3 * rng.standard_normal((S_BATCH, n)), dtype
     )
 
-    # Warm-up run (1 macro step): compiles the Newton-ADI body and the
-    # batched matfree rollout; those compiles are shared by ALL later
-    # macro steps (dre_backward_sweep hosts its time loop).
-    t0 = time.time()
-    receding_horizon_mpc(
-        sys, conv, np_ops, cond, cfg, sig, sigma_seq, idx_seq,
-        v0, n_macro=1,
-    )
-    log(f"warm-up macro step (incl compiles) {time.time() - t0:.1f}s")
-
-    t0 = time.time()
-    out = receding_horizon_mpc(
-        sys, conv, np_ops, cond, cfg, sig, sigma_seq, idx_seq,
-        v0, n_macro=N_MACRO, profile=True,
-    )
-    t_total = time.time() - t0
-    vs = np.asarray(out["vs"])
-    assert np.isfinite(vs).all(), "non-finite states in the macro loop"
-
-    tm = out["timings"]
-    mean = {
-        k: float(np.mean([t[k] for t in tm]))
-        for k in ("rebuild_s", "dre_s", "rollout_s", "total_s")
-    }
-    for i, t in enumerate(tm):
-        log(
-            f"macro {i}: rebuild {t['rebuild_s']:.2f}s, "
-            f"dre {t['dre_s']:.2f}s, rollout {t['rollout_s']:.2f}s, "
-            f"total {t['total_s']:.2f}s"
+    def run_variant(name, cfg):
+        # Warm-up run (1 macro step): compiles the Newton-ADI body and
+        # the batched matfree rollout; those compiles are shared by ALL
+        # later macro steps (dre_backward_sweep hosts its time loop).
+        t0 = time.time()
+        receding_horizon_mpc(
+            sys, conv, np_ops, cond, cfg, sig, sigma_seq, idx_seq,
+            v0, n_macro=1,
         )
+        log(f"[{name}] warm-up macro (incl compiles) {time.time() - t0:.1f}s")
+        t0 = time.time()
+        out = receding_horizon_mpc(
+            sys, conv, np_ops, cond, cfg, sig, sigma_seq, idx_seq,
+            v0, n_macro=N_MACRO, profile=True,
+        )
+        t_total = time.time() - t0
+        vs = np.asarray(out["vs"])
+        assert np.isfinite(vs).all(), "non-finite states in macro loop"
+        tm = out["timings"]
+        mean = {
+            k: float(np.mean([t[k] for t in tm]))
+            for k in ("rebuild_s", "dre_s", "rollout_s", "total_s")
+        }
+        for i, t in enumerate(tm):
+            log(
+                f"[{name}] macro {i}: rebuild {t['rebuild_s']:.2f}s, "
+                f"dre {t['dre_s']:.2f}s, rollout {t['rollout_s']:.2f}s, "
+                f"total {t['total_s']:.2f}s"
+            )
+        d0 = np.linalg.norm(vs[:, 0] - vbar[None], axis=1).mean()
+        dT = np.linalg.norm(vs[:, -1] - vbar[None], axis=1).mean()
+        # Acceptance (VERDICT r2 item 2): the controlled batch must
+        # decay toward the (unstable at Re=100) steady wake.
+        assert dT < d0, (dT, d0)
+        return {
+            "s_per_macro_step": round(mean["total_s"], 3),
+            "macro_steps_per_s": round(1.0 / mean["total_s"], 4),
+            "breakdown_s": {
+                "rebuild": round(mean["rebuild_s"], 3),
+                "dre": round(mean["dre_s"], 3),
+                "rollout": round(mean["rollout_s"], 3),
+            },
+            "perturbation_decay": round(float(dT / d0), 4),
+            "wall_total_s": round(t_total, 1),
+        }, np.asarray(out["ks"])
 
-    d0 = np.linalg.norm(vs[:, 0] - vbar[None], axis=1).mean()
-    dT = np.linalg.norm(vs[:, -1] - vbar[None], axis=1).mean()
-    # Acceptance (VERDICT r2 item 2): the controlled batch must decay
-    # toward the (unstable at Re=100) steady wake.
-    assert dT < d0, (dT, d0)
+    # Reference variant: full rebuild + full ADI schedule every macro
+    # (the r3-recorded path). Fast variant: cache refresh (persistent
+    # preconditioners, repacked operators) + truncated warm-ADI.
+    cfg_full = RHConfig(
+        horizon=8, apply=8, dt=DT, alpha=ALPHA, n_newton=1, r_max=32,
+        solver="matfree", refresh_caches=False,
+    )
+    cfg_fast = RHConfig(
+        horizon=8, apply=8, dt=DT, alpha=ALPHA, n_newton=1, r_max=32,
+        solver="matfree", refresh_caches=True, warm_n_adi=8,
+    )
+    res_full, ks_full = run_variant("full", cfg_full)
+    res_fast, ks_fast = run_variant("fast", cfg_fast)
+    # Gain fidelity of the fast path vs the full path, per macro step.
+    gain_dev = float(
+        np.abs(ks_fast - ks_full).max() / np.abs(ks_full).max()
+    )
+    log(f"fast-vs-full gain rel dev {gain_dev:.2e}")
 
     result = {
         "config": 4,
@@ -111,20 +136,19 @@ def main():
         "n_state": int(n),
         "scenarios": S_BATCH,
         "n_macro": N_MACRO,
-        "horizon": cfg.horizon,
-        "apply": cfg.apply,
+        "horizon": cfg_fast.horizon,
+        "apply": cfg_fast.apply,
         "solver": "matfree",
-        "s_per_macro_step": round(mean["total_s"], 3),
-        "macro_steps_per_s": round(1.0 / mean["total_s"], 4),
-        "breakdown_s": {
-            "rebuild": round(mean["rebuild_s"], 3),
-            "dre": round(mean["dre_s"], 3),
-            "rollout": round(mean["rollout_s"], 3),
-        },
-        "perturbation_decay": round(float(dT / d0), 4),
-        "wall_total_s": round(t_total, 1),
+        **res_fast,
+        "full_rebuild_variant": res_full,
+        "warm_n_adi": cfg_fast.warm_n_adi,
+        "gain_rel_dev_fast_vs_full": gain_dev,
+        "speedup_vs_full_rebuild": round(
+            res_full["s_per_macro_step"] / res_fast["s_per_macro_step"],
+            2,
+        ),
     }
-    with open("/root/repo/RECEDING_r03.json", "w") as f:
+    with open("/root/repo/RECEDING_r04.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

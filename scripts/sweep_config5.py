@@ -3,8 +3,9 @@
 Re in [60, 150] parameter-sweep MPC — R=8 Reynolds buckets x 1024
 scenarios, per-bucket linearization + DRE gain + steady-output target
 y*, memory-lean rollout (nse_closed_loop_outputs: no state trajectory
-in HBM). Writes SWEEP_r03.json with solves/s, per-bucket tracking cost,
-and HBM headroom (VERDICT r2 item 3).
+in HBM). Honors the drawn Re distribution with ragged masked
+buckets and disk-caches the per-bucket inverse stacks. Writes
+SWEEP_r04.json (VERDICT r3 items 5+6).
 
 The multi-device psum path of the same kernel is measured separately on
 the virtual 8-device CPU mesh by scripts/sweep_scaling_cpu.py (this
@@ -51,18 +52,22 @@ def main():
     dtype = jnp.float32
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}")
-    s_per = S_TOTAL // R_BUCKETS
     re_buckets = np.linspace(RE_LO, RE_HI, R_BUCKETS)
     log(f"Re buckets: {re_buckets}")
 
     # Continuous Re draw -> nearest-bucket assignment (the config-5
-    # grouping contract, parallel/param_sweep.py assign_re_buckets).
+    # grouping contract). The drawn distribution is BINDING (VERDICT
+    # r3 item 6): buckets get their REAL unequal counts, padded to a
+    # static S_max with mask-0 rows, and every statistic is weighted
+    # by the true counts.
     rng = np.random.default_rng(0)
     re_draw = rng.uniform(RE_LO, RE_HI, S_TOTAL)
-    counts = np.bincount(
-        assign_re_buckets(re_draw, re_buckets), minlength=R_BUCKETS
-    )
+    bucket_of = assign_re_buckets(re_draw, re_buckets)
+    counts = np.bincount(bucket_of, minlength=R_BUCKETS)
     log(f"scenario draw per bucket (continuous Re): {counts}")
+    # Pad to a multiple of 256 (lane-friendly, mesh-divisible).
+    s_max = int(-(-counts.max() // 256) * 256)
+    log(f"S_max (padded) = {s_max}; real total = {counts.sum()}")
 
     # Per-bucket setups: shared geometry, per-Re viscosity/steady state.
     t0 = time.time()
@@ -84,6 +89,10 @@ def main():
     cache_stack, ks = build_sweep_gains_and_caches(
         setups, DT, ALPHA, dtype=dtype,
         num_shifts=8, n_adi=16, nts_gain=8, r_max=24, solver="inverse",
+        cache_keys=[
+            f"sweep_cyl_re{re:.1f}_ref{REFINEMENT}_dt{DT}"
+            for re in re_buckets
+        ],
     )
     jax.block_until_ready(ks)
     t_gains = time.time() - t0
@@ -104,20 +113,26 @@ def main():
         for s in setups
     ])
 
-    # Initial states: per-bucket steady state + perturbation.
-    v0 = np.stack([
-        np.asarray(s[2].restrict(s[0]["vbar_full"]))[None]
-        + 1e-3 * rng.standard_normal((s_per, n))
-        for s in setups
-    ])
+    # Initial states: per-bucket steady state + perturbation for the
+    # REAL scenarios of the draw; padded rows repeat the steady state
+    # and carry mask 0 (they compute but never enter a statistic).
+    v0 = np.empty((R_BUCKETS, s_max, n))
+    mask = np.zeros((R_BUCKETS, s_max))
+    for r, s in enumerate(setups):
+        vbar_r = np.asarray(s[2].restrict(s[0]["vbar_full"]))
+        v0[r] = vbar_r[None]
+        c = int(counts[r])
+        v0[r, :c] += 1e-3 * rng.standard_normal((c, n))
+        mask[r, :c] = 1.0
     v0 = jnp.asarray(v0, dtype)
+    mask_d = jnp.asarray(mask, dtype)
 
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("scenario",))
 
     def run():
         ys, stats = sharded_sweep_rollout(
             mesh, sysd, conv, cache_stack, ks, v0, ALPHA, DT, NTS,
-            ystar=ystar,
+            ystar=ystar, mask=mask_d,
         )
         jax.block_until_ready(ys)
         return ys, stats
@@ -129,27 +144,35 @@ def main():
     t0 = time.time()
     ys, stats = run()
     t_sweep = time.time() - t0
-    solves = S_TOTAL * NTS
+    solves = int(counts.sum()) * NTS  # REAL solves only
+    computed = R_BUCKETS * s_max * NTS  # incl. padding
     log(
-        f"sweep warm {t_sweep:.1f}s -> {solves / t_sweep:.0f} solves/s "
-        f"({S_TOTAL} scenarios x {NTS} steps)"
+        f"sweep warm {t_sweep:.1f}s -> {solves / t_sweep:.0f} real "
+        f"solves/s ({counts.sum()} scenarios x {NTS} steps; padded "
+        f"device throughput {computed / t_sweep:.0f}/s)"
     )
 
     ys_np = np.asarray(ys)
     assert np.isfinite(ys_np).all(), "non-finite sweep outputs"
     mean_cost = np.asarray(stats["mean_cost"], dtype=np.float64)
     err_t = np.asarray(stats["tracking_err_T"], dtype=np.float64)
+    stat_counts = np.asarray(stats["scenarios"], dtype=np.float64)
+    np.testing.assert_array_equal(stat_counts, counts.astype(float))
     for r, re in enumerate(re_buckets):
         log(
-            f"  Re={re:.1f}: tracking cost {mean_cost[r]:.3e}, "
+            f"  Re={re:.1f}: {int(stat_counts[r])} scenarios, "
+            f"tracking cost {mean_cost[r]:.3e}, "
             f"terminal err {err_t[r]:.3e}"
         )
 
-    # HBM headroom after the full sweep lives on device.
-    ms = dev.memory_stats() or {}
-    hbm_used = ms.get("bytes_in_use", 0)
-    hbm_limit = ms.get("bytes_limit", 0)
-    log(f"HBM in use {hbm_used/2**30:.2f} GiB / limit {hbm_limit/2**30:.2f} GiB")
+    # Device-resident array footprint after the sweep: the axon
+    # runtime's memory_stats() returns {} (VERDICT r3 weak 2), so
+    # account live device arrays directly — an honest lower bound on
+    # HBM in use (excludes runtime/compiler scratch).
+    live_bytes = sum(
+        a.nbytes for a in jax.live_arrays() if dev in a.devices()
+    )
+    log(f"live device arrays {live_bytes/2**30:.2f} GiB")
 
     out = {
         "config": 5,
@@ -157,21 +180,22 @@ def main():
         "n_state": int(n),
         "re_range": [RE_LO, RE_HI],
         "re_buckets": [round(float(r), 1) for r in re_buckets],
-        "scenarios_total": S_TOTAL,
-        "scenarios_per_bucket": s_per,
+        "scenarios_total": int(counts.sum()),
+        "scenarios_per_bucket": [int(c) for c in counts],
+        "s_max_padded": s_max,
         "horizon_steps": NTS,
         "solves_per_s": round(solves / t_sweep, 1),
+        "padded_solves_per_s": round(computed / t_sweep, 1),
         "sweep_s": round(t_sweep, 2),
         "setup_s": round(t_setup, 1),
         "gains_s": round(t_gains, 1),
         "tracking_cost_per_bucket": [float(c) for c in mean_cost],
         "terminal_err_per_bucket": [float(e) for e in err_t],
-        "hbm_in_use_gib": round(hbm_used / 2**30, 2),
-        "hbm_limit_gib": round(hbm_limit / 2**30, 2),
+        "live_device_array_gib": round(live_bytes / 2**30, 2),
         "finite": True,
         "device": str(dev.device_kind),
     }
-    with open("/root/repo/SWEEP_r03.json", "w") as f:
+    with open("/root/repo/SWEEP_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

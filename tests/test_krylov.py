@@ -226,3 +226,67 @@ def test_gmres_f32_breakdown_stays_finite():
     for _ in range(8):
         v, _ = gmres(matvec, 1e-2 * v, n_iter=30)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_gmres_f64_breakdown_stays_finite():
+    """f64 case of the breakdown guard (ADVICE r3): the threshold is
+    dtype-relative (64 eps ~ 1.4e-14 in f64), so breakdown fires much
+    later than in f32 — near-converged columns then lean on the
+    R-diagonal truncation. Lock in that the f64 path stays finite and
+    accurate through the same over-long-basis + tiny/zero-column
+    scenario."""
+    from optconpy_tpu.solvers.krylov import fgmres
+
+    rng = np.random.default_rng(3)
+    n = 48
+    a = np.eye(n) + 0.05 * rng.standard_normal((n, n))
+    a64 = jnp.asarray(a, jnp.float64)
+
+    def matvec(x):
+        return a64 @ x
+
+    b = rng.standard_normal((n, 4))
+    b[:, 1] *= 1e-6
+    b[:, 2] = 0.0
+    b[:, 3] *= 1e3
+    b64 = jnp.asarray(b, jnp.float64)
+
+    x, res = gmres(matvec, b64, n_iter=40)
+    x = np.asarray(x)
+    assert np.isfinite(x).all()
+    err = np.abs(a @ x - b)
+    assert err[:, 0].max() < 1e-10 * np.abs(b[:, 0]).max()
+    assert err[:, 3].max() < 1e-10 * np.abs(b[:, 3]).max()
+    assert np.abs(x[:, 2]).max() < 1e-12
+
+    xf, rel = fgmres(matvec, b64, m=20, tol=1e-10, max_cycles=8)
+    xf = np.asarray(xf)
+    assert np.isfinite(xf).all()
+    assert np.abs(a @ xf - b)[:, 0].max() < 1e-8 * np.abs(b[:, 0]).max()
+
+
+def test_fgmres_zero_rhs_with_warm_start():
+    """A zero/tiny-norm rhs column with a NONZERO warm-start column
+    must fall back to the zero initial guess, not amplify x0 by 1/1e-30
+    (ADVICE r3: matfree.solve_smw exposes the warm-start path)."""
+    from optconpy_tpu.solvers.krylov import fgmres
+
+    rng = np.random.default_rng(5)
+    n = 32
+    a = np.eye(n) + 0.05 * rng.standard_normal((n, n))
+    a32 = jnp.asarray(a, jnp.float32)
+
+    def matvec(x):
+        return a32 @ x
+
+    b = rng.standard_normal((n, 3)).astype(np.float32)
+    b[:, 1] = 0.0  # zero rhs column
+    x0 = rng.standard_normal((n, 3)).astype(np.float32)  # nonzero x0
+    x, rel = fgmres(
+        matvec, jnp.asarray(b), x0=jnp.asarray(x0), m=20, tol=1e-6,
+    )
+    x = np.asarray(x)
+    assert np.isfinite(x).all()
+    assert np.abs(x[:, 1]).max() < 1e-6  # zero rhs -> zero solution
+    err = np.abs(a @ x.astype(np.float64) - b)
+    assert err[:, 0].max() < 1e-4 * np.abs(b[:, 0]).max()

@@ -182,3 +182,98 @@ def test_matfree_rollout_matches_lu(feedback):
         a, b = np.asarray(a), np.asarray(b)
         rel = np.abs(b - a).max() / max(np.abs(a).max(), 1e-30)
         assert rel < 1e-7, (name, rel)
+
+
+def test_refresh_operator_matches_full_build(cavity):
+    """refresh_operator (the receding-horizon per-macro value refresh,
+    VERDICT r3 item 4) must solve the NEW operator to the same FGMRES
+    tolerance as a from-scratch build — the kept (stale) block-Jacobi
+    preconditioner may only change iteration counts, never accuracy."""
+    np_ops, sys, _ = cavity
+    a_min, a_max = spectral_interval_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"]
+    )
+    sig = wachspress_shifts(a_min, a_max, 4)
+    base = SaddleMatfreeCache.build(
+        np_ops["A"].T.tocsr(), np_ops["M"], np_ops["J"], sig,
+        dtype=jnp.float64, block=64, m_krylov=30, max_cycles=12,
+        tol=1e-11, kind="ell",
+    )
+    # Perturbed operator: a convection-sized asymmetric shift of A^T.
+    import scipy.sparse as sp
+
+    at = np_ops["A"].T.tocsr()
+    pert = sp.csr_matrix(
+        (0.05 * np.sign(at.data) * at.data, at.indices, at.indptr),
+        shape=at.shape,
+    )
+    at_new = (at + pert.T).tocsr()
+    refreshed = base.refresh_operator(at_new)
+    full = SaddleMatfreeCache.build(
+        at_new, np_ops["M"], np_ops["J"], sig,
+        dtype=jnp.float64, block=64, m_krylov=30, max_cycles=12,
+        tol=1e-11, kind="ell",
+    )
+    rng = np.random.default_rng(1)
+    rhs = jnp.asarray(rng.standard_normal((sys.n, 3)))
+    for i in range(len(sig)):
+        x_r = np.asarray(refreshed.solve(jnp.int32(i), rhs))
+        x_f = np.asarray(full.solve(jnp.int32(i), rhs))
+        rel = np.abs(x_r - x_f).max() / np.abs(x_f).max()
+        assert rel < 1e-8, (i, rel)
+    # f32-preconditioner refresh variant: same solves (preconditioner
+    # precision is invisible at the FGMRES tolerance).
+    refreshed32 = base.refresh_operator(at_new, m_sp=np_ops["M"])
+    x_r32 = np.asarray(refreshed32.solve(jnp.int32(0), rhs))
+    x_f0 = np.asarray(full.solve(jnp.int32(0), rhs))
+    rel = np.abs(x_r32 - x_f0).max() / np.abs(x_f0).max()
+    assert rel < 1e-8, rel
+
+
+def test_sharded_matfree_rollout_matches_unsharded(cavity):
+    """The matfree FGMRES rollout under the scenario shard_map
+    partition == the unsharded batched rollout (VERDICT r3 weak 6:
+    config-3/4 production solvers under the multi-device dryrun)."""
+    import jax
+
+    from optconpy_tpu.parallel import scenario_mesh, sharded_nse_rollout
+    from optconpy_tpu.solvers.steady import solve_steady_nse_host
+
+    np_ops, sys64, cond = cavity_stokes_setup(nx=4)
+    np_ops["vbar_full"], _ = solve_steady_nse_host(np_ops["full"], cond)
+    sys = sys64.astype(jnp.float64)
+    conv = ConvKernel.build(np_ops["full"], cond, dtype=jnp.float64)
+    dt, alpha, nts, s_batch = 0.02, 1e-4, 4, 8
+    cache = build_nse_stepper_matfree(
+        np_ops, cond, dt, dtype=jnp.float64, block=64,
+        max_cycles=12, tol=1e-11, kind="ell",
+    )
+    n, m = sys.b.shape
+    rng = np.random.default_rng(2)
+    v0 = jnp.asarray(
+        np.asarray(cache.vbar)[None]
+        + 1e-3 * rng.standard_normal((s_batch, n))
+    )
+    ks = jnp.asarray(np.broadcast_to(
+        1e-3 * rng.standard_normal((m, n)), (nts + 1, m, n)
+    ))
+    ws = jnp.zeros((nts + 1, n))
+    vs_u, us_u, ys_u = batched_nse_closed_loop(
+        sys, conv, cache, ks, ws, v0, alpha, dt
+    )
+    mesh = scenario_mesh(jax.devices("cpu")[:8])
+    ys_s, stats = sharded_nse_rollout(
+        mesh, sys, conv, cache, ks, ws, v0, alpha, dt
+    )
+    a, b = np.asarray(ys_u), np.asarray(ys_s)
+    rel = np.abs(b - a).max() / max(np.abs(a).max(), 1e-30)
+    # sharded FGMRES solves see a different column blocking (S/n_dev
+    # columns per device) -> different rounding at the solve tol.
+    assert rel < 1e-8, rel
+    ref_cost = (
+        np.sum(np.asarray(ys_u) ** 2) * dt
+        + alpha * np.sum(np.asarray(us_u) ** 2) * dt
+    ) / s_batch
+    np.testing.assert_allclose(
+        float(stats["mean_cost"]), ref_cost, rtol=1e-6
+    )

@@ -93,7 +93,9 @@ def test_sharded_sweep_matches_unsharded(sweep):
     np.testing.assert_allclose(
         np.asarray(ys_sh), np.asarray(ys_ref), rtol=0, atol=1e-12
     )
-    assert int(stats["scenarios"]) == s_per
+    np.testing.assert_array_equal(
+        np.asarray(stats["scenarios"]), float(s_per)
+    )
     ref_cost = (
         np.sum(np.asarray(ys_ref) ** 2, axis=(1, 2, 3)) * DT
         + ALPHA * np.sum(np.asarray(u_ref), axis=(1, 2)) * DT
@@ -139,6 +141,54 @@ def test_sharded_sweep_tracking_cost(sweep):
     np.testing.assert_allclose(
         np.asarray(stats["tracking_err_T"]), ref_err_t, rtol=1e-10
     )
+
+
+def test_sharded_sweep_ragged_mask(sweep):
+    """Ragged buckets (unequal real scenario counts padded to S_max):
+    padded rows contribute NOTHING to any statistic and the per-bucket
+    counts/means are weighted by the true draw (VERDICT r3 item 6)."""
+    setups, cache_stack, ks, sys, conv = sweep
+    devs = jax.devices("cpu")[:8]
+    mesh = scenario_mesh(devs)
+    rng = np.random.default_rng(3)
+    n = sys.n
+    s_max = 8
+    counts = [6, 3]  # real scenarios per bucket
+    vbars = np.stack(
+        [np.asarray(cache_stack.vbar[r]) for r in range(len(NUS))]
+    )
+    v0 = np.broadcast_to(vbars[:, None, :], (len(NUS), s_max, n)).copy()
+    mask = np.zeros((len(NUS), s_max))
+    for r, c in enumerate(counts):
+        v0[r, :c] += 1e-3 * rng.standard_normal((c, n))
+        # padded rows get GARBAGE states: they must not leak into stats
+        v0[r, c:] += 1e3 * rng.standard_normal((s_max - c, n))
+        mask[r, :c] = 1.0
+    v0 = jnp.asarray(v0)
+    ys_sh, stats = sharded_sweep_rollout(
+        mesh, sys, conv, cache_stack, ks, v0, ALPHA, DT, NTS,
+        mask=jnp.asarray(mask),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stats["scenarios"]), np.asarray(counts, float)
+    )
+    # Reference: per-bucket mean over ONLY the real scenarios.
+    ys_ref, u_ref, _ = sweep_rollout(
+        sys, conv, cache_stack, ks, v0, ALPHA, DT, NTS
+    )
+    ys_np, u_np = np.asarray(ys_ref), np.asarray(u_ref)
+    for r, c in enumerate(counts):
+        ref_cost = (
+            np.sum(ys_np[r, :c] ** 2) * DT
+            + ALPHA * np.sum(u_np[r, :c]) * DT
+        ) / c
+        np.testing.assert_allclose(
+            float(stats["mean_cost"][r]), ref_cost, rtol=1e-10
+        )
+        ref_max = np.abs(ys_np[r, :c]).max()
+        np.testing.assert_allclose(
+            float(stats["max_abs_y"][r]), ref_max, rtol=1e-12
+        )
 
 
 def test_bucket_assignment():
