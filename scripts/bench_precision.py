@@ -9,7 +9,7 @@ bench-shape closed loop re-traced under 'highest' / 'high' (3-pass) /
 the same fused recurrence, so the tier choice is evidence-based
 (the f64 gap is the floor any tier must stay close to).
 
-Writes PRECISION_r03.json. Run:
+Writes PRECISION_r04.json. Run:
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_precision.py
 """
 from __future__ import annotations
@@ -184,7 +184,7 @@ def main():
         "tiers": results,
         "device": str(jax.devices()[0].device_kind),
     }
-    with open("/root/repo/PRECISION_r03.json", "w") as f:
+    with open("/root/repo/PRECISION_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

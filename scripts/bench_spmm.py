@@ -3,7 +3,7 @@
 weak 5): time einsum-ELL vs Pallas windowed-dense vs Pallas
 windowed-ELL on each config-3 operator (A^T-shifted, M, J, J^T) at the
 matfree solver's working batch widths, on the real chip. Writes
-SPMM_r03.json; pack_for_backend's dispatch policy cites this artifact.
+SPMM_r04.json; pack_for_backend's dispatch policy cites this artifact.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_spmm.py [refinement] [batch]
 """
@@ -122,7 +122,7 @@ def main():
         "operators": results,
         "device": str(jax.devices()[0].device_kind),
     }
-    with open("/root/repo/SPMM_r03.json", "w") as f:
+    with open("/root/repo/SPMM_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -4,7 +4,7 @@ velocity dofs) through the matrix-free stack — a size class the
 reference's architecture (single-process SuperLU, dense factors) could
 not touch interactively. Runs a short matfree DRE sweep + a few
 closed-loop rollout steps, records wall times, FGMRES relres per
-shift, factor feasibility, finiteness. Writes CONFIG3XL_r03.json. Run:
+shift, factor feasibility, finiteness. Writes CONFIG3XL_r04.json. Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/config3xl_cylinder.py
 """
@@ -163,7 +163,7 @@ def main():
             "factorization x 6 shifts"
         ),
     }
-    with open("/root/repo/CONFIG3XL_r03.json", "w") as f:
+    with open("/root/repo/CONFIG3XL_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -4,7 +4,7 @@
 (cylinder ref1, B=1024) — VERDICT r2 item 1's mandatory on-chip check
 (the interpret-mode test in tests/test_quad_conv.py runs the kernel on
 the CPU interpreter only). Asserts parity < 5e-6 relative and writes
-PARITY_CONV_r03.json. Timing runs inside a lax.scan of K applications
+PARITY_CONV_r04.json. Timing runs inside a lax.scan of K applications
 per dispatch: a single call through the TPU tunnel costs ~400 ms of
 dispatch latency, which would swamp the ~10 ms kernel. Run:
 
@@ -84,7 +84,7 @@ def main():
         "speedup": round(ms["xla"] / ms["pallas"], 2),
         "device": str(jax.devices()[0].device_kind),
     }
-    with open("/root/repo/PARITY_CONV_r03.json", "w") as f:
+    with open("/root/repo/PARITY_CONV_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
