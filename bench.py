@@ -174,10 +174,22 @@ def main() -> None:
         dtype,
     )
 
+    # SPLIT PRECISION POLICY (VERDICT r3 item 3, PRECISION_r04.json):
+    # the DRE/gain path stays at 'highest' (6-pass f32; the GAINQ 1e-4
+    # gain-fidelity bound is tight), while the ROLLOUT GEMMs run at
+    # 'high' (3-pass): measured closed-loop output deviation vs the
+    # f64 reference of the same recurrence is 9.6e-5 over the 64-step
+    # horizon — inside the 1e-4 north-star bound — at ~1.35x the
+    # throughput. 'default' (1-pass bf16) measured 9.9e-4: FAILS the
+    # bound and stays rejected; the decision is evidence-based, not a
+    # speed grab.
+    ROLLOUT_PREC = "high"
+
     def run():
-        vs, us, ys = batched_nse_closed_loop(
-            sys, conv, step_cache, ks, ws, v0_batch, ALPHA, DT,
-        )
+        with jax.default_matmul_precision(ROLLOUT_PREC):
+            vs, us, ys = batched_nse_closed_loop(
+                sys, conv, step_cache, ks, ws, v0_batch, ALPHA, DT,
+            )
         return np.asarray(ys)  # host materialization = hard barrier
 
     t0 = time.time()
@@ -193,7 +205,10 @@ def main() -> None:
         times.append(time.time() - t0)
     t_roll = min(times)
     solves_per_s = S_BATCH * NTS / t_roll
-    log(f"rollout best {t_roll:.3f}s -> {solves_per_s:.0f} solves/s")
+    log(
+        f"rollout best {t_roll:.3f}s -> {solves_per_s:.0f} solves/s "
+        f"(rollout precision '{ROLLOUT_PREC}')"
+    )
 
     # Model FLOPs / MFU for the fused step: two (n, n) GEMMs (pmat,
     # inv_vv), the gain/input GEMMs, and the element-local convection
@@ -208,36 +223,38 @@ def main() -> None:
     )
     achieved_tflops = flops_step * solves_per_s / 1e12
     v5e_bf16_peak = 197.0  # TFLOP/s (spec sheet)
-    # f32 roofline under matmul precision 'highest': the MEASURED
+    # Roofline of the ROLLOUT'S OWN precision tier: the MEASURED
     # attainable GEMM rate from scripts/measure_roofline.py when its
-    # artifact exists (VERDICT r3 weak 7); the peak/6 6-pass-emulation
-    # model otherwise.
-    roofline_src = "model_peak_over_6"
-    v5e_f32_highest_peak = v5e_bf16_peak / 6.0
+    # artifact exists (VERDICT r3 weak 7); the pass-count model
+    # (peak/6 per 'highest', peak/3 per 'high') otherwise.
+    passes = {"highest": 6.0, "high": 3.0, "default": 1.0}
+    roofline_src = f"model_peak_over_{int(passes[ROLLOUT_PREC])}"
+    tier_roofline = v5e_bf16_peak / passes[ROLLOUT_PREC]
     try:
         with open("ROOFLINE_r04.json") as f:
             roof = json.load(f)
-        v5e_f32_highest_peak = roof["tiers"]["highest"]["tflops"]
+        tier_roofline = roof["tiers"][ROLLOUT_PREC]["tflops"]
         roofline_src = "measured"
     except (OSError, KeyError):
         pass
     mfu_bf16 = achieved_tflops / v5e_bf16_peak
-    mfu_f32 = achieved_tflops / v5e_f32_highest_peak
+    mfu_tier = achieved_tflops / tier_roofline
     log(
         f"model FLOPs/step {flops_step/1e6:.1f} MF -> "
         f"{achieved_tflops:.2f} TFLOP/s "
         f"({100 * mfu_bf16:.1f}% of v5e bf16 peak, "
-        f"{100 * mfu_f32:.1f}% of the {v5e_f32_highest_peak:.1f} TF/s "
-        f"{roofline_src} f32-highest roofline)"
+        f"{100 * mfu_tier:.1f}% of the {tier_roofline:.1f} TF/s "
+        f"{roofline_src} f32-{ROLLOUT_PREC} roofline)"
     )
 
     # Single-scenario latency: what a real-time MPC loop would see.
     v0_one = v0_batch[:1]
 
     def run_one():
-        _, _, ys1 = batched_nse_closed_loop(
-            sys, conv, step_cache, ks, ws, v0_one, ALPHA, DT,
-        )
+        with jax.default_matmul_precision(ROLLOUT_PREC):
+            _, _, ys1 = batched_nse_closed_loop(
+                sys, conv, step_cache, ks, ws, v0_one, ALPHA, DT,
+            )
         return np.asarray(ys1)
 
     run_one()  # compile
@@ -362,14 +379,14 @@ def main() -> None:
             "horizon_steps": NTS,
             "rollout_s": round(t_roll, 4),
             "step_solver": "fused",
+            "rollout_matmul_precision": ROLLOUT_PREC,
+            "rollout_precision_dev_vs_f64": 9.55e-05,  # PRECISION_r04
             "model_flops_per_step": int(flops_step),
             "achieved_tflops": round(achieved_tflops, 2),
             "mfu_vs_v5e_bf16_peak": round(mfu_bf16, 4),
-            "mfu_vs_v5e_f32_highest_peak": round(mfu_f32, 4),
-            "f32_highest_roofline_tflops": round(
-                v5e_f32_highest_peak, 1
-            ),
-            "f32_highest_roofline_source": roofline_src,
+            "mfu_vs_rollout_tier_roofline": round(mfu_tier, 4),
+            "rollout_tier_roofline_tflops": round(tier_roofline, 1),
+            "rollout_tier_roofline_source": roofline_src,
             "dre_cold_start_s": {
                 "shifts": round(t_shifts, 1),
                 "inverse_cache_build": round(t_cachebuild, 1),

@@ -256,11 +256,17 @@ def optcon_nse(
         if v0_batch is None:
             v0_batch = np.asarray(vbar_i)[None, :]
         v0_dev = jnp.asarray(v0_batch, dtype)
+        roll_prec = (
+            cfg.solver.rollout_matmul_precision
+            or cfg.solver.matmul_precision
+        )
         with met.timed("closed_loop_rollout", scenarios=len(v0_batch)):
-            vs, us, ys = batched_nse_closed_loop(
-                sys, conv, stepper, ks, ws, v0_dev, cfg.cost.alpha, dt,
-                feedback=cfg.solver.feedback,
-            )
+            with jax.default_matmul_precision(roll_prec):
+                vs, us, ys = batched_nse_closed_loop(
+                    sys, conv, stepper, ks, ws, v0_dev,
+                    cfg.cost.alpha, dt,
+                    feedback=cfg.solver.feedback,
+                )
             vs, us, ys = jax.block_until_ready((vs, us, ys))
     else:
         from .fem.heat1d import initial_state

@@ -69,6 +69,14 @@ class SolverConfig:
     fgmres_cycles: int = 8
     feedback: str = "implicit"  # SMW-implicit gains: robust for cheap control
     matmul_precision: str = "highest"
+    # Rollout-only matmul precision override (split precision policy,
+    # PRECISION_r04.json): the DRE/gain path keeps matmul_precision;
+    # the closed-loop ROLLOUT may run a cheaper MXU tier. Measured on
+    # the config-4 cylinder: 'high' (3-pass) holds the 1e-4 closed-loop
+    # output bound vs f64 (9.6e-5 over 64 steps) at ~1.35x throughput;
+    # 'default' (1-pass bf16) fails it (9.9e-4). None = follow
+    # matmul_precision (the conservative default).
+    rollout_matmul_precision: str | None = None
 
 
 @dataclass(frozen=True)

@@ -84,34 +84,46 @@ def main():
         packs["einsum_ell"] = (ell, lambda p, x: p.matmat(x))
 
         row = {}
+        errors = {}
         for kind, (pack, apply_fn) in packs.items():
-            y = np.asarray(apply_fn(pack, x))
-            rel = np.abs(y - y_ref).max() / scale
-            assert rel < 1e-5, (name, kind, rel)
+            try:
+                y = np.asarray(apply_fn(pack, x))
+                rel = np.abs(y - y_ref).max() / scale
+                assert rel < 1e-5, (name, kind, rel)
 
-            @jax.jit
-            def loop(x, pack=pack, apply_fn=apply_fn):
-                def body(i, acc):
-                    return acc + apply_fn(pack, x + 0.0 * i)
+                @jax.jit
+                def loop(x, pack=pack, apply_fn=apply_fn):
+                    def body(i, acc):
+                        return acc + apply_fn(pack, x + 0.0 * i)
 
-                return jax.lax.fori_loop(
-                    0, iters, body,
-                    jnp.zeros((a.shape[0], x.shape[1]), x.dtype),
+                    return jax.lax.fori_loop(
+                        0, iters, body,
+                        jnp.zeros((a.shape[0], x.shape[1]), x.dtype),
+                    )
+
+                np.asarray(loop(x))  # compile + run (np barrier)
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    np.asarray(loop(x))
+                    ts.append(time.perf_counter() - t0)
+                per_ms = min(ts) / iters * 1e3
+                row[kind] = round(per_ms, 4)
+                log(
+                    f"{name:11s} {kind:15s} {per_ms:8.3f} ms  "
+                    f"rel={rel:.1e}"
                 )
-
-            np.asarray(loop(x))  # compile + run (np barrier: tunnel)
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                np.asarray(loop(x))
-                ts.append(time.perf_counter() - t0)
-            per_ms = min(ts) / iters * 1e3
-            row[kind] = round(per_ms, 4)
-            log(f"{name:11s} {kind:15s} {per_ms:8.3f} ms  rel={rel:.1e}")
+            except Exception as e:  # noqa: BLE001
+                # A kernel that cannot LOWER on the real chip is a
+                # measurement too (windowed_ell's Mosaic gather rule
+                # rejects these shapes) — record it, don't die.
+                errors[kind] = f"{type(e).__name__}: {str(e)[:200]}"
+                log(f"{name:11s} {kind:15s} FAILED: {errors[kind][:80]}")
         best = min(row, key=row.get)
         results[name] = {
             "shape": list(a.shape), "nnz": int(a.nnz),
             "ms_per_apply": row, "best": best,
+            "lowering_errors": errors,
         }
         log(f"{name}: best = {best}")
 
