@@ -318,9 +318,12 @@ def build_nse_stepper_matfree(
     max_cycles: int = 8,
     tol: float = 1e-6,
     kind: str = "auto",
+    batch_hint: int | None = None,
 ) -> NSEMatfreeStepCache:
     """Host-side builder of the matrix-free IMEX step cache (scipy
-    sparse only — no densification at any point)."""
+    sparse only — no densification at any point). batch_hint: expected
+    scenario-batch width, used by the measured SpMM kernel dispatch
+    (ops/pallas_spmm.pack_for_backend)."""
     import numpy as np
     import scipy.sparse as sp
 
@@ -350,6 +353,7 @@ def build_nse_stepper_matfree(
         (-theta * lin).tocsr(), m_i, j_i, [1.0 / dt],
         dtype=dtype, block=block, m_krylov=m_krylov,
         max_cycles=max_cycles, tol=tol, kind=kind,
+        batch_hint=batch_hint,
     )
     return NSEMatfreeStepCache(
         saddle=saddle,

@@ -91,6 +91,7 @@ def _rebuild_caches(
 def _rebuild_caches_matfree(
     np_ops: dict, cond, vnom_free, cfg: RHConfig, sig, dtype,
     prev: tuple | None = None,
+    batch_hint: int | None = None,
 ):
     """Host-side sparse re-linearization + matrix-free cache rebuild
     for one macro step (no O((n+np)^2) object is ever formed).
@@ -147,6 +148,7 @@ def _rebuild_caches_matfree(
     stepper = build_nse_stepper_matfree(
         np_macro, cond, cfg.dt, dtype=dtype,
         tol=cfg.fgmres_tol, max_cycles=cfg.fgmres_cycles, kind=cfg.kind,
+        batch_hint=batch_hint,
     )
     j_sp = sp.csr_matrix(np_ops["J"])
     dre_cache = SaddleMatfreeCache.build(
@@ -256,6 +258,7 @@ def receding_horizon_mpc(
                     if cfg.refresh_caches and macro > start_macro
                     else None
                 ),
+                batch_hint=int(v_batch.shape[0]),
             )
             prev_caches = (stepper, dre_cache)
             # Linearize about vnom, but regulate to the target vbar0.

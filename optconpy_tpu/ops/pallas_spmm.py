@@ -18,12 +18,14 @@ of X:
     (tile_m, w) @ (w, b). Trades padding FLOPs (the MXU has them to
     spare) for zero irregular memory ops; HBM traffic = blocks + X
     windows + Y, independent of b's gather blowup.
-  * WindowedELL — minimal traffic: per-slot row gathers from the VMEM
-    window (jnp.take along sublanes), data (m, k) + cols only.
-
-Both kernels share the same pack → apply contract and are validated
-against the ops/sparse.py einsum-ELL oracle; `spmm` dispatches with a
-segment-sum/einsum fallback on non-TPU backends.
+The kernel is validated against the ops/sparse.py einsum-ELL oracle;
+`spmm` dispatches with a segment-sum/einsum fallback on non-TPU
+backends. A WindowedELL gather variant (per-slot jnp.take from the
+VMEM window) existed through round 3 but was DELETED in round 4 by
+measurement: its Mosaic gather rule rejects every production shape on
+the real chip ("Shape mismatch in input, indices and output" at
+refinement 1 AND 2 — SPMM_r04.json lowering_errors), so it only ever
+ran under the CPU interpreter.
 """
 from __future__ import annotations
 
@@ -114,42 +116,6 @@ class WindowedDense:
         )
 
 
-@partial(
-    jax.tree_util.register_dataclass,
-    data_fields=("data", "cols_rel", "w_start"),
-    meta_fields=("shape", "tile_m", "w"),
-)
-@dataclass(frozen=True)
-class WindowedELL:
-    """Padded-ELL with per-row-tile relative columns.
-
-    data:     (m_pad, k) values; cols_rel: (m_pad, k) int32 columns
-              RELATIVE to the row tile's window start (padding slots
-              point at relative column 0 with value 0).
-    w_start:  (n_tiles,) int32 window starts.
-    """
-
-    data: jax.Array
-    cols_rel: jax.Array
-    w_start: jax.Array
-    shape: tuple
-    tile_m: int
-    w: int
-
-    @property
-    def dtype(self):
-        return self.data.dtype
-
-    def matmat(self, x: jax.Array) -> jax.Array:
-        return windowed_ell_spmm(self, x)
-
-    def astype(self, dtype) -> "WindowedELL":
-        return WindowedELL(
-            self.data.astype(dtype), self.cols_rel, self.w_start,
-            self.shape, self.tile_m, self.w,
-        )
-
-
 def _tile_windows(csr, tile_m: int, w_pad: int):
     """Per-tile (start, width) column windows; returns (starts, w).
 
@@ -194,41 +160,6 @@ def pack_windowed_dense(
     blocks[t_idx, coo.row % tile_m, coo.col - starts[t_idx]] = coo.data
     return WindowedDense(
         blocks=jnp.asarray(blocks),
-        w_start=jnp.asarray(starts.astype(np.int32)),
-        shape=(m, n),
-        tile_m=tile_m,
-        w=w,
-    )
-
-
-def pack_windowed_ell(
-    a, tile_m: int = 128, w_pad: int = 256, k_pad: int = 8,
-    dtype=np.float32,
-) -> WindowedELL:
-    """Host-side pack of a scipy sparse matrix into WindowedELL."""
-    import scipy.sparse as sp
-
-    a = sp.csr_matrix(a)
-    a.sum_duplicates()
-    m, n = a.shape
-    starts, w = _tile_windows(a, tile_m, w_pad)
-    n_pad_cols = _round_up(n + w, 8)
-    clip = max(n_pad_cols - w, 0)
-    starts = np.minimum(starts, clip - clip % 8)
-    m_pad = _round_up(max(m, 1), tile_m)
-    row_nnz = np.diff(a.indptr)
-    k = _round_up(max(int(row_nnz.max()) if m else 1, 1), k_pad)
-    data = np.zeros((m_pad, k), dtype=dtype)
-    cols_rel = np.zeros((m_pad, k), dtype=np.int32)
-    rows_flat = np.repeat(np.arange(m), row_nnz)
-    slot_flat = np.arange(a.nnz) - np.repeat(a.indptr[:-1], row_nnz)
-    data[rows_flat, slot_flat] = a.data
-    cols_rel[rows_flat, slot_flat] = (
-        a.indices - starts[rows_flat // tile_m]
-    ).astype(np.int32)
-    return WindowedELL(
-        data=jnp.asarray(data),
-        cols_rel=jnp.asarray(cols_rel),
         w_start=jnp.asarray(starts.astype(np.int32)),
         shape=(m, n),
         tile_m=tile_m,
@@ -331,89 +262,53 @@ def windowed_dense_spmm(
     return y[:, 0] if squeeze else y
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def windowed_ell_spmm(
-    a: WindowedELL, x: jax.Array, interpret: bool = False
-) -> jax.Array:
-    """Y = A @ X via the windowed-gather ELL Pallas kernel."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def pack_for_backend(
+    a_sp, dtype, kind: str = "auto", w_cap: int = 4096,
+    batch_hint: int | None = None,
+):
+    """Pack a scipy matrix for on-device SpMM, choosing the kernel
+    per-operator FROM MEASUREMENT (SPMM_r04.json: cylinder ref1/ref2,
+    batch widths 104 and 1024, TPU v5e):
 
-    m, n = a.shape
-    xp, b, squeeze = _pad_x(x, n, a.w, 128)
-    m_pad, k = a.data.shape
-    n_tiles = m_pad // a.tile_m
-    bp = xp.shape[1]
+      * square + dense stencil (nnz/row >= 15; the shifted A^T class):
+        windowed-dense — won every measured regime (up to 1.7x over
+        einsum-ELL at ref1/b104);
+      * square + sparse stencil (mass class, nnz/row ~ 11): width-
+        dependent — einsum-ELL at Krylov working widths (2.38 vs 2.93
+        ms at b104), windowed at rollout widths (19.6 vs 20.9 ms at
+        b1024); batch_hint >= 512 selects windowed;
+      * rectangular (J / J^T): einsum-ELL — J^T loses nothing in any
+        regime, and J's windowed pack hit a remote-compile failure at
+        refinement 2 (wide pressure windows) while einsum stayed both
+        correct and fastest there (3.2 ms).
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # X off-core
-            pl.BlockSpec(
-                (a.tile_m, k), lambda t, ws: (t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (a.tile_m, k), lambda t, ws: (t, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (a.tile_m, bp), lambda t, ws: (t, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((a.w, bp), xp.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-
-    def kernel(ws_ref, x_hbm, data_ref, cols_ref, out_ref, xw, sem):
-        ti = pl.program_id(0)
-        start = pl.multiple_of(ws_ref[ti], 8)  # pack-time aligned
-        dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(start, a.w), :], xw, sem
-        )
-        dma.start()
-        dma.wait()
-        window = xw[:]
-        acc = jnp.zeros((a.tile_m, bp), jnp.float32)
-        for j in range(k):
-            rows = jnp.take(window, cols_ref[:, j], axis=0)
-            acc = acc + data_ref[:, j][:, None].astype(jnp.float32) * rows
-        out_ref[:] = acc.astype(out_ref.dtype)
-
-    y = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad, bp), x.dtype),
-        interpret=interpret,
-    )(a.w_start, xp, a.data, a.cols_rel)
-    y = y[:m, :b]
-    return y[:, 0] if squeeze else y
-
-
-def pack_windowed(a, kind: str = "dense", **kw):
-    """Pack a scipy matrix for the requested kernel kind."""
-    if kind == "dense":
-        return pack_windowed_dense(a, **kw)
-    if kind == "ell":
-        return pack_windowed_ell(a, **kw)
-    raise ValueError(f"unknown windowed pack kind: {kind}")
-
-
-def pack_for_backend(a_sp, dtype, kind: str = "auto", w_cap: int = 4096):
-    """Pack a scipy matrix for on-device SpMM: windowed-dense on TPU,
-    einsum-ELL elsewhere (and whenever the measured column window
-    exceeds w_cap — the per-tile X window lives in VMEM, ~16 MB scoped
-    limit). kind: 'auto' | 'windowed' | 'ell'. 'auto' respects an
-    explicitly pinned default DEVICE (the test harness pins CPU while
-    the axon TPU plugin keeps default_backend() == 'tpu')."""
+    kind: 'auto' | 'windowed' | 'ell' ('auto' applies the table above
+    on TPU, einsum-ELL elsewhere; it respects an explicitly pinned
+    default DEVICE — the test harness pins CPU while the axon plugin
+    keeps default_backend() == 'tpu'). w_cap caps the per-tile VMEM
+    window (~16 MB scoped limit) as a final guard.
+    """
     if kind == "auto":
         from ..utils.runtime import effective_platform
 
-        kind = "windowed" if effective_platform() == "tpu" else "ell"
+        if effective_platform() != "tpu":
+            kind = "ell"
+        else:
+            import scipy.sparse as sp
+
+            a = sp.csr_matrix(a_sp)
+            rows, cols = a.shape
+            density = a.nnz / max(rows, 1)
+            if rows == cols and density >= 15.0:
+                kind = "windowed"
+            elif rows == cols:
+                kind = (
+                    "windowed"
+                    if batch_hint is not None and batch_hint >= 512
+                    else "ell"
+                )
+            else:
+                kind = "ell"
     if kind == "windowed":
         pack = pack_windowed_dense(a_sp, dtype=np.dtype(dtype))
         if pack.w <= w_cap:
@@ -424,18 +319,16 @@ def pack_for_backend(a_sp, dtype, kind: str = "auto", w_cap: int = 4096):
 
 
 def spmm(a, x: jax.Array) -> jax.Array:
-    """Dispatch SpMM: windowed Pallas kernels on TPU, einsum-ELL else.
+    """Dispatch SpMM: windowed Pallas kernel on TPU, einsum-ELL else.
 
-    `a` may be a WindowedDense / WindowedELL (Pallas) or an
-    ops.sparse.ELL (einsum oracle/fallback).
+    `a` may be a WindowedDense (Pallas) or an ops.sparse.ELL (einsum
+    oracle/fallback).
     """
-    if isinstance(a, (WindowedDense, WindowedELL)):
+    if isinstance(a, WindowedDense):
         from ..utils.runtime import effective_platform
 
         if effective_platform() == "tpu":
             return a.matmat(x)
         # Interpreter fallback keeps CPU tests meaningful.
-        if isinstance(a, WindowedDense):
-            return windowed_dense_spmm(a, x, interpret=True)
-        return windowed_ell_spmm(a, x, interpret=True)
+        return windowed_dense_spmm(a, x, interpret=True)
     return a @ x

@@ -49,15 +49,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pack_operator(a_sp, kind: str, dtype, w_cap: int = 4096):
+def _pack_operator(
+    a_sp, kind: str, dtype, w_cap: int = 4096,
+    batch_hint: int | None = None,
+):
     """Pack a scipy matrix for on-device SpMM — see
-    ops.pallas_spmm.pack_for_backend (wide-window operators, e.g. the
-    divergence J at fine refinements whose pressure rows straddle both
-    velocity components, fall back to einsum-ELL rather than blow the
-    ~16 MB scoped-VMEM limit)."""
+    ops.pallas_spmm.pack_for_backend for the MEASURED per-operator
+    dispatch table (SPMM_r04.json); batch_hint is the expected SpMM
+    column width (Krylov W width for the DRE cache, scenario batch for
+    the transient stepper)."""
     from ..ops.pallas_spmm import pack_for_backend
 
-    return pack_for_backend(a_sp, dtype, kind=kind, w_cap=w_cap)
+    return pack_for_backend(
+        a_sp, dtype, kind=kind, w_cap=w_cap, batch_hint=batch_hint
+    )
 
 
 def _block_jacobi_inverses(f_sp, block: int, n_pad: int) -> np.ndarray:
@@ -129,6 +134,7 @@ class SaddleMatfreeCache:
         max_cycles: int = 8,
         tol: float = 1e-6,
         kind: str = "auto",
+        batch_hint: int | None = None,
     ) -> "SaddleMatfreeCache":
         """Host-side setup (scipy, f64) — O(nnz + n B^2 / B + np^3).
 
@@ -174,10 +180,12 @@ class SaddleMatfreeCache:
         lp_inv = np.linalg.inv(lp)
 
         return SaddleMatfreeCache(
-            at_pack=_pack_operator(at_r, kind, dtype),
-            m_pack=_pack_operator(m_r, kind, dtype),
-            j_pack=_pack_operator(j_r, kind, dtype),
-            jt_pack=_pack_operator(j_r.T.tocsr(), kind, dtype),
+            at_pack=_pack_operator(at_r, kind, dtype, batch_hint=batch_hint),
+            m_pack=_pack_operator(m_r, kind, dtype, batch_hint=batch_hint),
+            j_pack=_pack_operator(j_r, kind, dtype, batch_hint=batch_hint),
+            jt_pack=_pack_operator(
+                j_r.T.tocsr(), kind, dtype, batch_hint=batch_hint
+            ),
             bj_inv=jnp.asarray(bj, dtype),
             lp_inv=jnp.asarray(lp_inv, dtype),
             shifts=jnp.asarray(shifts_np, dtype),
@@ -220,14 +228,14 @@ class SaddleMatfreeCache:
         import numpy as np
         import scipy.sparse as sp
 
-        from ..ops.pallas_spmm import WindowedDense, WindowedELL
+        from ..ops.pallas_spmm import WindowedDense
 
         perm = np.asarray(self.perm)
         at_r = sp.csr_matrix(at_sp_new)[perm][:, perm].tocsr()
         dtype = self.shifts.dtype
         kind = (
             "windowed"
-            if isinstance(self.at_pack, (WindowedDense, WindowedELL))
+            if isinstance(self.at_pack, WindowedDense)
             else "ell"
         )
         new = {"at_pack": _pack_operator(at_r, kind, dtype)}

@@ -29,10 +29,8 @@ def main():
     from optconpy_tpu.models.cylinder import cylinder_setup
     from optconpy_tpu.ops.pallas_spmm import (
         pack_windowed_dense,
-        pack_windowed_ell,
         rcm_permutation,
         windowed_dense_spmm,
-        windowed_ell_spmm,
     )
     from optconpy_tpu.ops.sparse import ell_from_scipy
 
@@ -73,13 +71,9 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             log(f"{name}: windowed_dense pack failed: {e}")
-        try:
-            packs["windowed_ell"] = (
-                pack_windowed_ell(a, dtype=np.float32),
-                windowed_ell_spmm,
-            )
-        except Exception as e:  # noqa: BLE001
-            log(f"{name}: windowed_ell pack failed: {e}")
+        # windowed_ell was DELETED in r4: its Mosaic gather rule
+        # rejected every production shape on the real chip (see the
+        # recorded lowering_errors in SPMM_r04.json runs).
         ell = ell_from_scipy(a, pad_to=8, dtype=np.float32)
         packs["einsum_ell"] = (ell, lambda p, x: p.matmat(x))
 
@@ -134,8 +128,22 @@ def main():
         "operators": results,
         "device": str(jax.devices()[0].device_kind),
     }
-    with open("/root/repo/SPMM_r04.json", "w") as f:
-        json.dump(out, f, indent=1)
+    # Accumulate runs (one key per shape class) so the artifact covers
+    # every production regime in one file.
+    import os
+
+    path = "/root/repo/SPMM_r04.json"
+    acc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            acc = json.load(f)
+        if "runs" not in acc:
+            acc = {"runs": {f"ref{acc['problem'][-1]}_b{acc['batch']}": acc}}
+    else:
+        acc = {"runs": {}}
+    acc["runs"][f"ref{refinement}_b{b}"] = out
+    with open(path, "w") as f:
+        json.dump(acc, f, indent=1)
     print(json.dumps(out))
 
 
