@@ -171,8 +171,17 @@ def optcon_nse(
                     max_cycles=cfg.solver.fgmres_cycles,
                 )
             else:
+                # 'inverse' stacks are disk-cached under the config
+                # hash (riccati.load_or_build_inverse_stack): a warm
+                # driver restart skips the splu explicit-inverse
+                # builds entirely (the reference's load_or_comp
+                # restart contract, SURVEY.md SS3.5).
                 cache = build_dre_cache_dae(
-                    sys, dt, sig, dtype=dtype, solver=dre_solver
+                    sys, dt, sig, dtype=dtype, solver=dre_solver,
+                    cache_key=(
+                        f"optcont_{cfg.hash()}"
+                        if dre_solver == "inverse" else None
+                    ),
                 )
         else:
             from .riccati import build_dre_cache, dre_shift_schedule

@@ -86,10 +86,15 @@ def main():
     probe = jnp.asarray(rng.standard_normal((n, 4)), dtype)
     relres = []
     t0 = time.time()
+    # jit with the CACHE AS AN ARGUMENT: a bound-method closure bakes
+    # the ~0.7 GB of preconditioner blocks into the HLO as constants
+    # and blows the remote compiler's request limit (HTTP 413) at
+    # refinement 3; as a pytree argument they ship as buffers.
+    probe_solve = jax.jit(lambda c, i, rv, rp: c._solve_perm(i, rv, rp))
     for i in range(len(sig)):
         rv = probe[cache.perm]
         rp = jnp.zeros((cache.n_p, 4), dtype)
-        _, _, rel = jax.jit(cache._solve_perm)(jnp.int32(i), rv, rp)
+        _, _, rel = probe_solve(cache, jnp.int32(i), rv, rp)
         relres.append(float(np.asarray(rel)))
         log(f"  shift {i} ({sig[i]:.1f}): relres {relres[-1]:.2e}")
     log(f"probe solves {time.time() - t0:.1f}s")
