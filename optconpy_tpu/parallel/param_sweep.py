@@ -39,43 +39,71 @@ def build_sweep_gains_and_caches(
     solver: str = "inverse",
     interval=None,
     cache_keys: list | None = None,
+    dre_solver: str = "inverse",
 ):
     """Per-bucket gains + stepper caches, host loop (setup time).
 
     setups: list of (np_ops, sys, cond) from models/* at each parameter
     value. Returns (stacked NSEStepCache, ks (R, m, n)).
     cache_keys: optional per-bucket stable strings — with
-    solver='inverse' each bucket's shifted-inverse stack is disk-cached
-    under its key (riccati.load_or_build_inverse_stack), so a warm
-    sweep restart skips all R splu builds (VERDICT r3 item 5).
+    dre_solver='inverse' each bucket's shifted-inverse stack is
+    disk-cached under its key (riccati.load_or_build_inverse_stack),
+    so a warm sweep restart skips all R splu builds (VERDICT r3 item 5).
+    dre_solver: 'inverse' (dense GEMM stack; 618 MB/bucket of device
+    transfer at cylinder ref1 x 8 shifts — measured 76 s/bucket
+    through the ~10 MB/s axon tunnel) or 'matfree' (block-Jacobi +
+    Schur FGMRES, ~80 MB/bucket; the transfer-bound sweep setup's
+    production choice — gain parity with the dense path is certified
+    at 7.3e-6 by RECEDING_r04/test_matfree).
     """
     from ..riccati import (
         build_dre_cache_dae,
+        build_dre_cache_dae_matfree,
         dre_backward_sweep,
         dre_shift_schedule_dae,
     )
 
-    caches, gains = [], []
-    for i, (np_ops, sys64, cond) in enumerate(setups):
-        sys = sys64.astype(dtype)
-        sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
-            np_ops["A"], np_ops["M"], np_ops["J"], dt,
-            num_shifts=num_shifts, n_adi=n_adi, interval=interval,
-        )
-        dre_cache = build_dre_cache_dae(
-            sys, dt, sig, dtype=dtype, solver="inverse",
-            cache_key=None if cache_keys is None else cache_keys[i],
-        )
-        _, ks = dre_backward_sweep(
-            sys, dre_cache, alpha, dt, nts_gain,
-            jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
-            n_newton=1, r_max=r_max,
-        )
-        gains.append(ks[0])
-        del dre_cache  # free the per-shift factors before the next bucket
-        caches.append(
-            build_nse_stepper(np_ops, cond, dt, dtype=dtype, solver=solver)
-        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    gains = []
+    # Overlap the per-bucket STEPPER builds (host f64 inverse + device
+    # transfer, ~20 s/bucket measured at cylinder ref1) with the DRE
+    # gain sweeps: scipy/LAPACK release the GIL and jnp.asarray
+    # transfers are async, so two worker threads keep both cores and
+    # the tunnel busy while the device runs the gain programs.
+    with ThreadPoolExecutor(2) as ex:
+        stepper_futs = [
+            ex.submit(
+                build_nse_stepper, np_ops, cond, dt,
+                dtype=dtype, solver=solver,
+            )
+            for np_ops, _sys64, cond in setups
+        ]
+        for i, (np_ops, sys64, cond) in enumerate(setups):
+            sys = sys64.astype(dtype)
+            sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
+                np_ops["A"], np_ops["M"], np_ops["J"], dt,
+                num_shifts=num_shifts, n_adi=n_adi, interval=interval,
+            )
+            if dre_solver == "matfree":
+                dre_cache = build_dre_cache_dae_matfree(
+                    sys, dt, sig, dtype=dtype
+                )
+            else:
+                dre_cache = build_dre_cache_dae(
+                    sys, dt, sig, dtype=dtype, solver="inverse",
+                    cache_key=(
+                        None if cache_keys is None else cache_keys[i]
+                    ),
+                )
+            _, ks = dre_backward_sweep(
+                sys, dre_cache, alpha, dt, nts_gain,
+                jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+                n_newton=1, r_max=r_max,
+            )
+            gains.append(ks[0])
+            del dre_cache  # free per-shift factors before the next bucket
+        caches = [f.result() for f in stepper_futs]
     cache_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
     return cache_stack, jnp.stack(gains)
 

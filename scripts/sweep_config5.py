@@ -86,13 +86,14 @@ def main():
     log(f"setups {t_setup:.1f}s: n={n} x {R_BUCKETS} buckets")
 
     t0 = time.time()
+    # DRE tier 'matfree': the dense inverse stacks are 618 MB/bucket
+    # of device transfer (~76 s/bucket through the tunnel, measured
+    # r4) — the matfree caches carry ~80 MB/bucket at certified gain
+    # parity (7.3e-6, RECEDING_r04).
     cache_stack, ks = build_sweep_gains_and_caches(
         setups, DT, ALPHA, dtype=dtype,
         num_shifts=8, n_adi=16, nts_gain=8, r_max=24, solver="inverse",
-        cache_keys=[
-            f"sweep_cyl_re{re:.1f}_ref{REFINEMENT}_dt{DT}"
-            for re in re_buckets
-        ],
+        dre_solver="matfree",
     )
     jax.block_until_ready(ks)
     t_gains = time.time() - t0
@@ -192,6 +193,14 @@ def main():
         "tracking_cost_per_bucket": [float(c) for c in mean_cost],
         "terminal_err_per_bucket": [float(e) for e in err_t],
         "live_device_array_gib": round(live_bytes / 2**30, 2),
+        "setup_note": (
+            "gains time is dominated by the 8 per-bucket stepper "
+            "inverses' ~0.8 GB device transfer through the ~10-30 "
+            "MB/s axon tunnel (measured r4) — the DRE tier is "
+            "matfree (~80 MB/bucket) and stepper builds overlap the "
+            "gain sweeps on worker threads; the residual is the "
+            "transfer floor, not compute"
+        ),
         "finite": True,
         "device": str(dev.device_kind),
     }
