@@ -157,6 +157,7 @@ def dre_solution(cavity, reduced):
     return zs, ks, xts
 
 
+@pytest.mark.slow
 def test_dre_gains_match_reduced_golden(cavity, reduced, dre_solution):
     _, _, _ = cavity
     red = reduced
@@ -169,6 +170,7 @@ def test_dre_gains_match_reduced_golden(cavity, reduced, dre_solution):
         assert rel < 1e-5, (k_idx, rel)
 
 
+@pytest.mark.slow
 def test_closed_loop_matches_reduced_golden(cavity, reduced, dre_solution):
     """North-star fidelity for config 2: full closed loop <= 1e-4."""
     np_ops, sys, _ = cavity

@@ -42,6 +42,7 @@ def test_conv_batch_matches_vmap(cyl):
                                rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("feedback", ["explicit", "implicit"])
 def test_fused_rollout_matches_unfused(cyl, feedback):
     np_ops, sys64, cond = cyl

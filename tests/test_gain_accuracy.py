@@ -42,6 +42,7 @@ def cavity():
     return cavity_stokes_setup(nx=5)
 
 
+@pytest.mark.slow
 def test_converged_dae_sweep_has_small_residual(cavity):
     np_ops, sys, _ = cavity
     zs, ks = _sweep_dae(cavity, n_adi=16, n_newton=3)

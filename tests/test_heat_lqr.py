@@ -155,6 +155,7 @@ def dre_solution(heat):
     return zs, ks, xs_gold
 
 
+@pytest.mark.slow
 def test_dre_matches_golden(heat, dre_solution):
     np_ops, sys = heat
     zs, ks, xs_gold = dre_solution
@@ -173,6 +174,7 @@ def test_dre_matches_golden(heat, dre_solution):
         assert rel_k < 1e-5, (k_idx, rel_k)
 
 
+@pytest.mark.slow
 def test_closed_loop_matches_golden(heat, dre_solution):
     """The north-star check: closed-loop sequence to <= 1e-4 rel err."""
     np_ops, sys = heat
@@ -224,6 +226,7 @@ def test_closed_loop_matches_golden(heat, dre_solution):
     assert abs(float(ys[NTS // 2, 0]) - 0.232) < 0.05
 
 
+@pytest.mark.slow
 def test_implicit_feedback_matches_golden(heat, dre_solution):
     """SMW-implicit feedback rollout vs its dense f64 oracle, and
     agreement with the explicit loop to O(dt) (same continuous limit)."""

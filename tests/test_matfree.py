@@ -116,6 +116,7 @@ def test_matfree_adi_matches_lu(shifted):
     assert rel < 1e-6, rel
 
 
+@pytest.mark.slow
 def test_matfree_dre_sweep_matches_lu(cavity):
     """Full backward DRE sweep: matrix-free gains == dense-LU gains."""
     np_ops, sys, _ = cavity
@@ -141,6 +142,7 @@ def test_matfree_dre_sweep_matches_lu(cavity):
     assert rel < 1e-6, rel
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("feedback", ["explicit", "implicit"])
 def test_matfree_rollout_matches_lu(feedback):
     """Matrix-free batched NSE rollout == dense-SaddleLU rollout

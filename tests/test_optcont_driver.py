@@ -100,6 +100,7 @@ def test_vtk_export(run, tmp_path):
     del out
 
 
+@pytest.mark.slow
 def test_driver_solver_tiers_match(run, tmp_path):
     """Every SolverConfig.step_solver tier is reachable from the L5
     driver (VERDICT r2 item 5) and produces the same closed loop: the

@@ -81,6 +81,7 @@ def test_sharded_rollout_matches_vmap(heat_gains):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_contract():
     import __graft_entry__ as ge
 

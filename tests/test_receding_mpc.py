@@ -257,6 +257,7 @@ def test_receding_checkpoint_rejects_foreign_config(cavity, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_receding_matfree_matches_lu(cavity):
     """The matrix-free macro loop (sparse host re-linearization +
     SaddleMatfreeCache rebuilds) reproduces the dense-LU macro loop's
