@@ -36,7 +36,7 @@ ALPHA = 1e-2
 NTS_GAIN = 6  # DRE steps used to produce a real (warm) gain
 R_MAX = 32
 N_SHIFTS = 6
-N_ADI = 24
+N_ADI = 32  # 24 left a reproducible 2.3e-4 step-residual spike; 32 restores ~2e-5 (r4 lever experiment)
 CPU_STEPS = 8
 
 
@@ -102,14 +102,45 @@ def main() -> None:
     at_til_sp = (a_sp_e.T - m_sp_e / (2.0 * DT)).tocsr()
     inv_key = f"bench_cyl_re{int(RE)}_ref{REFINEMENT}_dt{DT}"
 
-    t0 = time.time()
-    inv_np, inv_source = load_or_build_inverse_stack(
-        at_til_sp, m_sp_e, j_sp_e, np.asarray(sig), np.float32,
-    )  # no cache_key: always builds (the honest cold path)
-    t_build_host = time.time() - t0
+    ss_dev = jnp.asarray(sigma_seq, dtype)
+    ii_dev = jnp.asarray(idx_seq)
+
+    def run_dre(cache, alpha):
+        zs, ks = dre_backward_sweep(
+            sys, cache, alpha, DT, NTS_GAIN,
+            ss_dev, ii_dev, n_newton=1, r_max=R_MAX,
+        )
+        # Materialize on host: under the tunnel runtime,
+        # block_until_ready alone has returned before execution.
+        np.asarray(ks)
+        return zs, ks
+
+    # OVERLAPPED cold start: the splu inverse build (host threads,
+    # GIL-free) runs CONCURRENTLY with the XLA compile of the DRE
+    # program against a ZEROS cache of identical shapes/dtypes — the
+    # jit executable is shape-keyed, so the warm-up compile is a cache
+    # hit for the real sweep. Cold wall = shifts + max(build, compile)
+    # instead of their sum.
+    from concurrent.futures import ThreadPoolExecutor
+
+    t_par0 = time.time()
+    with ThreadPoolExecutor(1) as ex:
+        fut_inv = ex.submit(
+            load_or_build_inverse_stack,
+            at_til_sp, m_sp_e, j_sp_e, np.asarray(sig), np.float32,
+        )  # no cache_key: always builds (the honest cold path)
+        t0 = time.time()
+        warm_cache = SaddleShiftedInverseCache(
+            jnp.zeros((len(np.asarray(sig)), n, n), dtype), n
+        )
+        run_dre(warm_cache, ALPHA)  # XLA compile (outputs discarded)
+        t_compile = time.time() - t0
+        del warm_cache
+        inv_np, inv_source = fut_inv.result()
+        t_build_host = time.time() - t_par0
     dre_cache = SaddleShiftedInverseCache(jnp.asarray(inv_np), n)
     jax.block_until_ready(dre_cache.inv)
-    t_cachebuild = time.time() - t0
+    t_cachebuild = time.time() - t_par0  # overlapped build+compile+transfer
     inv_source = "built"
     # Disk round trip: save once, time the warm reload (what a real
     # MPC restart with a populated data/ pays instead of the build).
@@ -122,36 +153,23 @@ def main() -> None:
     t_disk_warm = time.time() - t0
     del inv_reload
     log(
-        f"DRE cold-start: shifts {t_shifts:.1f}s, inverse-cache "
-        f"built {t_build_host:.1f}s (+transfer "
-        f"{t_cachebuild - t_build_host:.1f}s), disk-warm reload "
+        f"DRE cold-start (overlapped): build-until-ready "
+        f"{t_build_host:.1f}s, XLA compile {t_compile:.1f}s, "
+        f"combined phase {t_cachebuild:.1f}s, disk-warm reload "
         f"{t_disk_warm:.1f}s"
     )
     t0 = time.time()
-    ss_dev = jnp.asarray(sigma_seq, dtype)
-    ii_dev = jnp.asarray(idx_seq)
-
-    def run_dre(alpha):
-        zs, ks = dre_backward_sweep(
-            sys, dre_cache, alpha, DT, NTS_GAIN,
-            ss_dev, ii_dev, n_newton=1, r_max=R_MAX,
-        )
-        # Materialize on host: under the tunnel runtime,
-        # block_until_ready alone has returned before execution.
-        np.asarray(ks)
-        return zs, ks
-
-    zs, ks_gain = run_dre(ALPHA)  # compile + first run
-    t_compile = time.time() - t0
+    zs, ks_gain = run_dre(dre_cache, ALPHA)  # first REAL run (compile cached)
+    t_first = time.time() - t0
     t0 = time.time()
-    run_dre(ALPHA * 1.0001)  # warm timing, distinct operand
+    run_dre(dre_cache, ALPHA * 1.0001)  # warm timing, distinct operand
     t_dre = time.time() - t0
-    t_cold_total = t_shifts + t_cachebuild + t_compile
+    t_cold_total = t_shifts + t_cachebuild + t_first
     adi_iters = NTS_GAIN * 1 * N_ADI
     adi_iters_per_s = adi_iters / t_dre
     log(
-        f"DRE gains: XLA compile+first-run {t_compile:.1f}s "
-        f"(cold total {t_cold_total:.1f}s), warm sweep "
+        f"DRE gains: first run {t_first:.1f}s (cold total "
+        f"{t_cold_total:.1f}s), warm sweep "
         f"{t_dre:.2f}s -> {adi_iters_per_s:.1f} ADI iters/s"
     )
 
@@ -389,11 +407,14 @@ def main() -> None:
             "rollout_tier_roofline_source": roofline_src,
             "dre_cold_start_s": {
                 "shifts": round(t_shifts, 1),
-                "inverse_cache_build": round(t_cachebuild, 1),
+                # build + XLA compile run CONCURRENTLY; this is the
+                # combined overlapped phase (max of the two + transfer)
+                "build_and_compile_overlapped": round(t_cachebuild, 1),
                 "inverse_cache_build_host": round(t_build_host, 1),
+                "xla_compile_warmup": round(t_compile, 1),
                 "inverse_cache_source": inv_source,
                 "disk_warm_reload": round(t_disk_warm, 1),
-                "xla_compile_first_run": round(t_compile, 1),
+                "first_real_run": round(t_first, 1),
                 "total": round(t_cold_total, 1),
             },
             "latency_ms_per_step_s1": round(lat_ms_per_step, 3),

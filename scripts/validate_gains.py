@@ -24,7 +24,7 @@ def log(msg):
 
 # EXACT bench.py parameters.
 RE, REFINEMENT, DT, ALPHA = 100.0, 1, 0.005, 1e-2
-NTS_GAIN, R_MAX, N_SHIFTS, N_ADI, N_NEWTON = 6, 32, 6, 24, 1
+NTS_GAIN, R_MAX, N_SHIFTS, N_ADI, N_NEWTON = 6, 32, 6, 32, 1
 RESIDUAL_BOUND = 1e-3  # certified bound for the shipped f32 gains
 
 
