@@ -9,7 +9,7 @@ budget on the 2-vCPU host — see VERDICT r1 item 3).
 Validation at this size is residual/behavioral (no dense golden is
 feasible at 15k): constraint feasibility of the Riccati factors, finite
 gains, and the controlled rollout suppressing the wake perturbation
-energy relative to the uncontrolled one. Writes CONFIG3_r03.json. Run:
+energy relative to the uncontrolled one. Writes CONFIG3_r04.json. Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/config3_cylinder.py
 """
@@ -250,7 +250,7 @@ def main():
         "rollout_s": round(t_roll, 2),
         "finite": bool(np.isfinite(np.asarray(vs_c)).all()),
     }
-    with open("/root/repo/CONFIG3_r03.json", "w") as f:
+    with open("/root/repo/CONFIG3_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
