@@ -267,27 +267,30 @@ def pack_for_backend(
     batch_hint: int | None = None,
 ):
     """Pack a scipy matrix for on-device SpMM, choosing the kernel
-    per-operator FROM MEASUREMENT (SPMM_r04.json: cylinder ref1/ref2,
-    batch widths 104 and 1024, TPU v5e):
+    per-operator FROM MEASUREMENT — with the END-TO-END solve as the
+    criterion, not single-op microbenches:
 
-      * square + dense stencil (nnz/row >= 15; the shifted A^T class):
-        windowed-dense — won every measured regime (up to 1.7x over
-        einsum-ELL at ref1/b104);
-      * square + sparse stencil (mass class, nnz/row ~ 11): width-
-        dependent — einsum-ELL at Krylov working widths (2.38 vs 2.93
-        ms at b104), windowed at rollout widths (19.6 vs 20.9 ms at
-        b1024); batch_hint >= 512 selects windowed;
-      * rectangular (J / J^T): einsum-ELL — J^T loses nothing in any
-        regime, and J's windowed pack hit a remote-compile failure at
-        refinement 2 (wide pressure windows) while einsum stayed both
-        correct and fastest there (3.2 ms).
+      * square operators and tall rectangulars (A^T class, mass, J^T):
+        windowed-dense. The b=104 single-op numbers in SPMM_r04.json
+        showed einsum-ELL marginally ahead for the mass/J^T classes,
+        but swapping them inside the config-3 FGMRES solve regressed
+        it 2x (A/B at cylinder ref2, q=40 working width: 272 -> 131
+        ms/solve with windowed) — the solver's column blocks are
+        lane-padded to 128 where the windowed MXU tiles win;
+      * wide rectangulars (J: pressure rows over velocity columns):
+        einsum-ELL — J's windowed pack remote-compile-failed at
+        refinement 2 (wide windows) while einsum stayed correct and
+        fastest there (3.2 ms, SPMM_r04).
 
     kind: 'auto' | 'windowed' | 'ell' ('auto' applies the table above
     on TPU, einsum-ELL elsewhere; it respects an explicitly pinned
     default DEVICE — the test harness pins CPU while the axon plugin
     keeps default_backend() == 'tpu'). w_cap caps the per-tile VMEM
-    window (~16 MB scoped limit) as a final guard.
+    window (~16 MB scoped limit) as a final guard. batch_hint is
+    accepted for API stability and currently unused (the end-to-end
+    A/B showed the width-dependent policy it fed was wrong).
     """
+    del batch_hint
     if kind == "auto":
         from ..utils.runtime import effective_platform
 
@@ -296,19 +299,8 @@ def pack_for_backend(
         else:
             import scipy.sparse as sp
 
-            a = sp.csr_matrix(a_sp)
-            rows, cols = a.shape
-            density = a.nnz / max(rows, 1)
-            if rows == cols and density >= 15.0:
-                kind = "windowed"
-            elif rows == cols:
-                kind = (
-                    "windowed"
-                    if batch_hint is not None and batch_hint >= 512
-                    else "ell"
-                )
-            else:
-                kind = "ell"
+            rows, cols = sp.csr_matrix(a_sp).shape
+            kind = "ell" if rows < cols else "windowed"
     if kind == "windowed":
         pack = pack_windowed_dense(a_sp, dtype=np.dtype(dtype))
         if pack.w <= w_cap:
