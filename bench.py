@@ -161,16 +161,29 @@ def main() -> None:
     t0 = time.time()
     zs, ks_gain = run_dre(dre_cache, ALPHA)  # first REAL run (compile cached)
     t_first = time.time() - t0
-    t0 = time.time()
-    run_dre(dre_cache, ALPHA * 1.0001)  # warm timing, distinct operand
-    t_dre = time.time() - t0
+    # Warm rate: MEDIAN of 5 sweeps with the spread recorded (VERDICT
+    # r4 weak 1/6 + item 9): the sweep is ~100 small host-dispatched
+    # programs, so a single sample inherits whatever the host costs
+    # that minute (r3->r4 the single-shot number swung 478->192 on
+    # identical code).
+    warm_times = []
+    for rep in range(5):
+        t0 = time.time()
+        run_dre(dre_cache, ALPHA * (1.0 + 1e-4 * (rep + 1)))
+        warm_times.append(time.time() - t0)
+    t_dre = float(np.median(warm_times))
     t_cold_total = t_shifts + t_cachebuild + t_first
     adi_iters = NTS_GAIN * 1 * N_ADI
     adi_iters_per_s = adi_iters / t_dre
+    adi_spread = [
+        round(adi_iters / t, 1) for t in
+        (max(warm_times), min(warm_times))
+    ]
     log(
         f"DRE gains: first run {t_first:.1f}s (cold total "
-        f"{t_cold_total:.1f}s), warm sweep "
-        f"{t_dre:.2f}s -> {adi_iters_per_s:.1f} ADI iters/s"
+        f"{t_cold_total:.1f}s), warm sweep median "
+        f"{t_dre:.2f}s -> {adi_iters_per_s:.1f} ADI iters/s "
+        f"(spread {adi_spread[0]}..{adi_spread[1]} over 5)"
     )
 
     # Receding-horizon style: apply the current (t=0) gain at every step.
@@ -328,18 +341,64 @@ def main() -> None:
         np.add.at(out[1], tri_dofs.reshape(-1), out_loc[:, :, 1].reshape(-1))
         return out.reshape(-1)[free]
 
-    v = vbar_np + 1e-3 * rng.standard_normal(n)
-    t0 = time.time()
-    for _ in range(CPU_STEPS):
-        u = -(k0_np @ (v - vbar_np))
-        expl = conv_np(v) - l1_sp @ v
-        rhs = np.concatenate(
-            [m_sp @ v / DT - expl + b_np @ u - fv_np, fp_np]
-        )
-        v = lu.solve(rhs)[:n]
-    t_cpu = time.time() - t0
+    # CPU baselines are MEDIAN-of-3 with the 1-min load average
+    # recorded (VERDICT r4 weak 2: single-shot baselines swung 16x
+    # between runs of identical code on the co-tenanted host, making
+    # vs_baseline a weather report).
+    loadavg_1min = round(os.getloadavg()[0], 2)
+    cpu_step_times = []
+    for _ in range(3):
+        v = vbar_np + 1e-3 * rng.standard_normal(n)
+        t0 = time.time()
+        for _ in range(CPU_STEPS):
+            u = -(k0_np @ (v - vbar_np))
+            expl = conv_np(v) - l1_sp @ v
+            rhs = np.concatenate(
+                [m_sp @ v / DT - expl + b_np @ u - fv_np, fp_np]
+            )
+            v = lu.solve(rhs)[:n]
+        cpu_step_times.append(time.time() - t0)
+    t_cpu = float(np.median(cpu_step_times))
     cpu_solves_per_s = CPU_STEPS / t_cpu
-    log(f"cpu baseline {t_cpu:.2f}s -> {cpu_solves_per_s:.1f} solves/s")
+    samples = [round(t, 2) for t in cpu_step_times]
+    log(
+        f"cpu baseline median {t_cpu:.2f}s of {samples} "
+        f"(loadavg {loadavg_1min}) -> {cpu_solves_per_s:.1f} solves/s"
+    )
+
+    # --- MEASURED rollout precision fidelity (VERDICT r4 weak 3 /
+    # item 6): f64 reference of the SAME fused recurrence on a
+    # scenario subsample, compared against the device trajectories
+    # captured above — replaces the round-4 hardcoded constant, so a
+    # changed NTS/RE/refinement can never silently stale-certify.
+    s_ref = 2
+    pmat64 = np.asarray(step_cache.pmat, np.float64)
+    gmat64 = np.asarray(step_cache.gmat, np.float64)
+    inv_vv64 = np.asarray(step_cache.inv_vv, np.float64)
+    c0_64 = np.asarray(step_cache.c0, np.float64)
+    k0_64 = np.asarray(k0, np.float64)
+    vbar64 = np.asarray(vbar, np.float64)
+    c_out64 = np.asarray(sys64.c)
+    v_ref = np.asarray(v0_batch[:s_ref], np.float64)
+    ys_ref = [v_ref @ c_out64.T]
+    t0 = time.time()
+    for _ in range(NTS):
+        u_ref = -(v_ref - vbar64[None]) @ k0_64.T
+        v_ref = (
+            v_ref @ pmat64.T
+            + u_ref @ gmat64.T
+            - np.stack([conv_np(vv) for vv in v_ref]) @ inv_vv64.T
+            + c0_64[None]
+        )
+        ys_ref.append(v_ref @ c_out64.T)
+    ys_ref = np.stack(ys_ref, axis=1)
+    dev_f64 = float(
+        np.abs(ys[:s_ref] - ys_ref).max() / np.abs(ys_ref).max()
+    )
+    log(
+        f"measured rollout dev vs f64 reference ({s_ref} scenarios, "
+        f"{time.time() - t0:.1f}s): {dev_f64:.2e}"
+    )
 
     # --- ADI CPU-architecture baseline: scipy splu factorizations of
     # the SAME shifted saddle pencils + the same ADI recurrence in
@@ -369,13 +428,18 @@ def main() -> None:
         sol = lus_adi[idx].solve(np.concatenate([rhs, zeros_p]))
         return sol[:n]
 
-    t0 = time.time()
-    v_it = cpu_shift_solve(0, w_np)
-    for it in range(1, N_ADI):
-        idx = it % len(sig)
-        mv = m_sp @ v_it
-        v_it = v_it - (sig[idx] + sig[idx - 1]) * cpu_shift_solve(idx, mv)
-    t_iters_adi = time.time() - t0
+    adi_cpu_times = []
+    for _ in range(3):  # median-of-3 (VERDICT r4 weak 2)
+        t0 = time.time()
+        v_it = cpu_shift_solve(0, w_np)
+        for it in range(1, N_ADI):
+            idx = it % len(sig)
+            mv = m_sp @ v_it
+            v_it = v_it - (sig[idx] + sig[idx - 1]) * cpu_shift_solve(
+                idx, mv
+            )
+        adi_cpu_times.append(time.time() - t0)
+    t_iters_adi = float(np.median(adi_cpu_times))
     # Reference amortizes the factorizations over the whole sweep.
     cpu_adi_iters_per_s = adi_iters / (
         t_factor_adi + adi_iters * (t_iters_adi / N_ADI)
@@ -398,7 +462,10 @@ def main() -> None:
             "rollout_s": round(t_roll, 4),
             "step_solver": "fused",
             "rollout_matmul_precision": ROLLOUT_PREC,
-            "rollout_precision_dev_vs_f64": 9.55e-05,  # PRECISION_r04
+            # measured IN-RUN against the f64 reference recurrence on
+            # a scenario subsample (not a copied artifact constant)
+            "rollout_precision_dev_vs_f64": dev_f64,
+            "rollout_precision_f64_ref_scenarios": s_ref,
             "model_flops_per_step": int(flops_step),
             "achieved_tflops": round(achieved_tflops, 2),
             "mfu_vs_v5e_bf16_peak": round(mfu_bf16, 4),
@@ -419,11 +486,14 @@ def main() -> None:
             },
             "latency_ms_per_step_s1": round(lat_ms_per_step, 3),
             "adi_iters_per_s": round(adi_iters_per_s, 2),
+            "adi_iters_per_s_spread": adi_spread,  # [worst, best] of 5
             "cpu_adi_iters_per_s": round(cpu_adi_iters_per_s, 2),
             "adi_vs_baseline": round(
                 adi_iters_per_s / cpu_adi_iters_per_s, 2
             ),
             "cpu_ref_solves_per_s": round(cpu_solves_per_s, 2),
+            "cpu_baseline_sampling": "median_of_3",
+            "host_loadavg_1min": loadavg_1min,
             "device": str(dev.device_kind),
         },
     }

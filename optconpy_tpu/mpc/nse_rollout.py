@@ -371,6 +371,150 @@ def build_nse_stepper_matfree(
     )
 
 
+@partial(jax.jit, static_argnames=("passes",))
+def _ns_refine_dense(x, big_d, passes: int):
+    """Newton-Schulz inverse refinement: X <- X (2I - A X), `passes`
+    times, all dense MXU GEMMs. Quadratic: r_k = ||I - A X_k||_2
+    satisfies r_k = r_{k-1}^2, so convergence needs r_0 < 1."""
+
+    def body(x, _):
+        ax = big_d @ x  # spelled 2X - X(AX): exactly two (N, N) GEMMs
+        return 2.0 * x - x @ ax, None
+
+    x, _ = jax.lax.scan(body, x, None, length=passes)
+    return x
+
+
+@jax.jit
+def _inv_residual_probe(x, big_d, key):
+    """max_j ||v_j - A (X v_j)|| / ||v_j|| over 4 random probes — an
+    O(N^2) spectral-radius estimate of ||I - A X||."""
+    n = x.shape[0]
+    v = jax.random.normal(key, (n, 4), x.dtype)
+    r = v - big_d @ (x @ v)
+    return jnp.max(
+        jnp.linalg.norm(r, axis=0) / jnp.linalg.norm(v, axis=0)
+    )
+
+
+def build_sweep_steppers_ns_chain(
+    setups: list,
+    dt: float,
+    dtype=jnp.float32,
+    conv=None,
+    scheme: str = "oseen",
+    ns_passes: int = 4,
+    seed_passes: int = 2,
+    certify_tol: float = 1e-4,
+):
+    """Config-5 stepper tier (VERDICT r4 item 7): per-bucket explicit
+    saddle inverses WITHOUT per-bucket dense transfers — one bf16 seed
+    inverse shipped once + an on-device Newton-Schulz chain across the
+    Re buckets.
+
+    The r4 sweep shipped ~0.1 GB of host-built f64 inverse + dense L1
+    per bucket through the ~10 MB/s axon tunnel (220 s of gains_s,
+    SWEEP_r04 setup_note). Measured feasibility on the cylinder-ref1
+    bucket family (Re 60..150, 8 buckets, this repo's operators):
+    rho(I - A_r X_{r-1}) is 0.093..0.14 between ADJACENT buckets and
+    1.3e-2 for a bf16-cast same-bucket inverse, so Newton-Schulz
+    (quadratic: rho -> rho^2 per pass) reaches ~7e-7 in 3-4 passes /
+    ~3e-8 in 2 seed passes. Per-bucket device work is 2 dense GEMMs a
+    pass (~0.5 TFLOP at n+np ~ 5k) — milliseconds on the MXU; the only
+    bulk transfer is the single bf16 seed (~50 MB).
+
+    L1(vbar_r) is computed ON DEVICE from the shared convection tensor
+    (ConvKernel.linearized_dense — same mesh across buckets) instead of
+    shipping a dense (n, n) matrix per bucket.
+
+    setups: list of (np_ops, sys64, cond) (models/cylinder at each Re,
+    shared geometry). conv: a ConvKernel/FusedConvKernel built on the
+    shared geometry; required (supplies the device re-linearization).
+    Returns (steppers, residuals): list[NSEStepCache] with
+    SaddleInverse solvers and the certified per-bucket inverse
+    residuals (asserted < certify_tol).
+    """
+    import numpy as np
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from ..ops.sparse import ell_from_scipy
+    from ..solvers.saddle import SaddleInverse
+
+    if scheme != "oseen":
+        raise ValueError("ns_chain tier supports the oseen scheme only")
+    if conv is None:
+        raise ValueError("ns_chain tier needs the shared ConvKernel")
+
+    np_ops0, _, cond0 = setups[0]
+    n = np_ops0["M"].shape[0]
+    n_p = np_ops0["J"].shape[0]
+    big_n = n + n_p
+    free = np.asarray(cond0.free)
+    free_d = jnp.asarray(free, jnp.int32)
+
+    def assemble_big(np_ops, cond, l1_sp):
+        m_sp = sp.csr_matrix(np_ops["M"])
+        a_sp = sp.csr_matrix(cond.mat_inner(np_ops["full"]["A"]))
+        j_sp = sp.csr_matrix(np_ops["J"])
+        return sp.bmat(
+            [[m_sp / dt - a_sp + l1_sp, j_sp.T], [j_sp, None]],
+            format="csr",
+        )
+
+    def l1_device(np_ops):
+        """(n, n) implicit convection block, assembled on device."""
+        vbar_full = jnp.asarray(np_ops["vbar_full"], dtype)
+        l1_full = conv.linearized_dense(vbar_full, include_l2=False)
+        return l1_full[free_d][:, free_d]
+
+    from ..fem.taylor_hood import convection_matrices
+
+    steppers = []
+    residuals = []
+    key = jax.random.PRNGKey(0)
+    x_prev = None
+    for r, (np_ops, _sys64, cond) in enumerate(setups):
+        l1_sp, _ = convection_matrices(
+            np_ops["full"], np_ops["vbar_full"]
+        )
+        l1_sp = sp.csr_matrix(cond.mat_inner(l1_sp))
+        big_sp = assemble_big(np_ops, cond, l1_sp)
+        big_ell = ell_from_scipy(big_sp, pad_to=8, dtype=np.float32)
+        big_d = big_ell.todense().astype(dtype)  # densified ON device
+
+        if r == 0:
+            # Seed: host f64 sparse-LU inverse, shipped ONCE as bf16
+            # (half the bytes of f32; the cast error rho ~1e-2 is
+            # repaired by `seed_passes` NS passes on device).
+            inv0 = spla.splu(big_sp.tocsc()).solve(np.eye(big_n))
+            x = jnp.asarray(inv0.astype(np.float32), jnp.bfloat16)
+            x = _ns_refine_dense(x.astype(dtype), big_d, seed_passes)
+        else:
+            x = _ns_refine_dense(x_prev, big_d, ns_passes)
+        key, sub = jax.random.split(key)
+        res = float(_inv_residual_probe(x, big_d, sub))
+        assert res < certify_tol, (
+            f"NS chain failed to certify bucket {r}: "
+            f"residual {res:.3e} >= {certify_tol:.1e}"
+        )
+        residuals.append(res)
+        x_prev = x
+        del big_d
+
+        steppers.append(NSEStepCache(
+            lu=SaddleInverse(x, n),
+            l1_imp=l1_device(np_ops).astype(dtype),
+            fv=jnp.asarray(cond.mat_bc_rhs(np_ops["full"]["A"]), dtype),
+            fp=jnp.asarray(cond.jmat_bc_rhs(np_ops["full"]["J"]), dtype),
+            vbar=jnp.asarray(
+                cond.restrict(np_ops["vbar_full"]), dtype
+            ),
+            rhs_half=None,
+        ))
+    return steppers, residuals
+
+
 @partial(jax.jit, static_argnames=("feedback",))
 def batched_nse_closed_loop_matfree(
     sys,

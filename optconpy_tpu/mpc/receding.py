@@ -59,6 +59,18 @@ class RHConfig:
     # Refresh (not rebuild) the matfree caches on macro steps after
     # the first: operator values update, preconditioners persist.
     refresh_caches: bool = True
+    # Preconditioner-staleness guards (ADVICE r4 medium #2): FGMRES
+    # enforces tolerance against the EXACT refreshed operator, but a
+    # stale block-Jacobi preconditioner can push solves to the cycle
+    # cap where fgmres returns silently at whatever residual it
+    # reached. The macro loop therefore PROBES the achieved relres on
+    # the hardest shift each macro; when it exceeds
+    # relres_refresh_factor * fgmres_tol, the next refresh re-inverts
+    # the preconditioner blocks about the new operator (f32).
+    # precond_refresh_every additionally forces that re-inversion
+    # every K macros (0 = adaptive-only).
+    precond_refresh_every: int = 0
+    relres_refresh_factor: float = 10.0
 
 
 def _rebuild_caches(
@@ -92,6 +104,7 @@ def _rebuild_caches_matfree(
     np_ops: dict, cond, vnom_free, cfg: RHConfig, sig, dtype,
     prev: tuple | None = None,
     batch_hint: int | None = None,
+    refresh_precond: bool = False,
 ):
     """Host-side sparse re-linearization + matrix-free cache rebuild
     for one macro step (no O((n+np)^2) object is ever formed).
@@ -134,15 +147,22 @@ def _rebuild_caches_matfree(
         a_stokes_i = sp.csr_matrix(cond.mat_inner(full["A"]))
         l1_i = sp.csr_matrix(cond.mat_inner(l1))
         lin = (a_stokes_i - l1_i).tocsr()
+        # refresh_precond: ALSO re-invert the block-Jacobi blocks about
+        # the refreshed operators (f32; ~1.5 s vs ~20 s full rebuild) —
+        # the staleness escape hatch the macro loop triggers from the
+        # probed FGMRES relres (ADVICE r4 medium #2).
+        m_pre = m_sp if refresh_precond else None
         stepper = dataclasses.replace(
             stepper_prev,
-            saddle=stepper_prev.saddle.refresh_operator((-lin).tocsr()),
+            saddle=stepper_prev.saddle.refresh_operator(
+                (-lin).tocsr(), m_sp=m_pre
+            ),
             l1_pack=ell_from_scipy(
                 l1_i, pad_to=8, dtype=np.dtype(dtype)
             ),
             vbar=jnp.asarray(cond.restrict(vnom_full), dtype),
         )
-        return stepper, dre_prev.refresh_operator(at_dre)
+        return stepper, dre_prev.refresh_operator(at_dre, m_sp=m_pre)
 
     np_macro = dict(np_ops, vbar_full=vnom_full)
     stepper = build_nse_stepper_matfree(
@@ -239,6 +259,8 @@ def receding_horizon_mpc(
     timings = []
     vnom = vbar0
     prev_caches = None
+    need_precond_refresh = False
+    probe_relres = None
 
     for macro in range(start_macro, n_macro):
         t_macro0 = _time.time()
@@ -251,6 +273,11 @@ def receding_horizon_mpc(
         if cfg.solver == "matfree":
             import dataclasses
 
+            force_every = (
+                cfg.precond_refresh_every > 0
+                and macro > start_macro
+                and (macro - start_macro) % cfg.precond_refresh_every == 0
+            )
             stepper, dre_cache = _rebuild_caches_matfree(
                 np_ops, cond, np.asarray(vnom), cfg, sig, dtype,
                 prev=(
@@ -259,6 +286,7 @@ def receding_horizon_mpc(
                     else None
                 ),
                 batch_hint=int(v_batch.shape[0]),
+                refresh_precond=need_precond_refresh or force_every,
             )
             prev_caches = (stepper, dre_cache)
             # Linearize about vnom, but regulate to the target vbar0.
@@ -294,6 +322,20 @@ def receding_horizon_mpc(
         if profile:
             jax.block_until_ready(k_now)
             t_dre = _time.time() - t_dre0
+        if cfg.solver == "matfree":
+            # Staleness probe (ADVICE r4 medium #2): one solve on the
+            # hardest (smallest-|shift|) pencil, relres surfaced. If
+            # the kept preconditioner degraded enough that FGMRES hit
+            # the cycle cap above tol, re-invert it next macro.
+            hard_i = int(np.argmin(np.abs(np.asarray(sig))))
+            _, rel = dre_cache.solve_relres(
+                hard_i, sys.mass.matvec(vnom)
+            )
+            probe_relres = float(rel)
+            need_precond_refresh = (
+                probe_relres > cfg.relres_refresh_factor * cfg.fgmres_tol
+            )
+        if profile:
             t_roll0 = _time.time()
         ks_roll = jnp.broadcast_to(k_now, (cfg.apply + 1, m, n))
         ws = jnp.zeros((cfg.apply + 1, n), dtype)
@@ -306,12 +348,15 @@ def receding_horizon_mpc(
         us_hist.append(us)
         if profile:
             jax.block_until_ready(v_batch)
-            timings.append({
+            entry = {
                 "rebuild_s": t_rebuild,
                 "dre_s": t_dre,
                 "rollout_s": _time.time() - t_roll0,
                 "total_s": _time.time() - t_macro0,
-            })
+            }
+            if probe_relres is not None:
+                entry["fgmres_probe_relres"] = probe_relres
+            timings.append(entry)
         if checkpoint is not None:
             tmp = checkpoint + ".tmp"
             np.savez(
@@ -327,6 +372,10 @@ def receding_horizon_mpc(
                 checkpoint,
             )
         if metrics is not None:
+            extra_m = (
+                {"fgmres_probe_relres": probe_relres}
+                if probe_relres is not None else {}
+            )
             metrics.log(
                 "mpc_macro_step",
                 step=macro,
@@ -334,6 +383,7 @@ def receding_horizon_mpc(
                 mean_state_norm=float(
                     jnp.linalg.norm(v_batch - vnom[None], axis=1).mean()
                 ),
+                **extra_m,
             )
 
     vs_all = jnp.concatenate(

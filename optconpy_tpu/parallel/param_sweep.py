@@ -40,6 +40,8 @@ def build_sweep_gains_and_caches(
     interval=None,
     cache_keys: list | None = None,
     dre_solver: str = "inverse",
+    conv=None,
+    info: dict | None = None,
 ):
     """Per-bucket gains + stepper caches, host loop (setup time).
 
@@ -55,6 +57,13 @@ def build_sweep_gains_and_caches(
     Schur FGMRES, ~80 MB/bucket; the transfer-bound sweep setup's
     production choice — gain parity with the dense path is certified
     at 7.3e-6 by RECEDING_r04/test_matfree).
+    solver: stepper tier — 'lu' / 'inverse' (per-bucket host builds,
+    ~0.1 GB dense transfer per bucket) or 'inverse_ns' (one bf16 seed
+    inverse + on-device Newton-Schulz chain across buckets, ~50 MB
+    total transfer — VERDICT r4 item 7; requires `conv`, the shared
+    geometry's ConvKernel, for device re-linearization).
+    info: optional dict populated with setup diagnostics
+    ('ns_residuals': certified per-bucket inverse residuals).
     """
     from ..riccati import (
         build_dre_cache_dae,
@@ -71,14 +80,34 @@ def build_sweep_gains_and_caches(
     # gain sweeps: scipy/LAPACK release the GIL and jnp.asarray
     # transfers are async, so two worker threads keep both cores and
     # the tunnel busy while the device runs the gain programs.
+    # Only the memory-lean matfree DRE tier overlaps ALL stepper builds
+    # up-front; with dre_solver='inverse' a multi-hundred-MB shifted-
+    # inverse stack would coexist with in-flight stepper inverse
+    # builds/transfers and raise peak host+device memory (ADVICE r4
+    # low #4), so that tier submits each bucket's stepper only after
+    # its DRE cache is freed.
+    overlap_all = dre_solver == "matfree"
     with ThreadPoolExecutor(2) as ex:
-        stepper_futs = [
-            ex.submit(
-                build_nse_stepper, np_ops, cond, dt,
-                dtype=dtype, solver=solver,
+        if solver == "inverse_ns":
+            # One worker runs the whole Newton-Schulz chain (device
+            # GEMMs + one bf16 seed transfer) concurrent with the DRE
+            # gain sweeps on the main thread.
+            from ..mpc.nse_rollout import build_sweep_steppers_ns_chain
+
+            ns_fut = ex.submit(
+                build_sweep_steppers_ns_chain, setups, dt,
+                dtype=dtype, conv=conv,
             )
-            for np_ops, _sys64, cond in setups
-        ]
+            stepper_futs = [None] * len(setups)
+        else:
+            ns_fut = None
+            stepper_futs = [
+                ex.submit(
+                    build_nse_stepper, np_ops, cond, dt,
+                    dtype=dtype, solver=solver,
+                )
+                for np_ops, _sys64, cond in setups
+            ] if overlap_all else [None] * len(setups)
         for i, (np_ops, sys64, cond) in enumerate(setups):
             sys = sys64.astype(dtype)
             sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
@@ -103,7 +132,17 @@ def build_sweep_gains_and_caches(
             )
             gains.append(ks[0])
             del dre_cache  # free per-shift factors before the next bucket
-        caches = [f.result() for f in stepper_futs]
+            if not overlap_all and solver != "inverse_ns":
+                stepper_futs[i] = ex.submit(
+                    build_nse_stepper, np_ops, cond, dt,
+                    dtype=dtype, solver=solver,
+                )
+        if ns_fut is not None:
+            caches, ns_residuals = ns_fut.result()
+            if info is not None:
+                info["ns_residuals"] = ns_residuals
+        else:
+            caches = [f.result() for f in stepper_futs]
     cache_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
     return cache_stack, jnp.stack(gains)
 
@@ -177,24 +216,33 @@ def sharded_sweep_rollout(
             sys, conv, cache_l, ks_l, v0_l, alpha, dt, nts
         )
         w = mask_l.astype(ys.dtype)  # (R, S_local)
+        valid = mask_l > 0  # boolean SELECT, not multiply: padded rows
+        # still compute the full nonlinear rollout and may diverge to
+        # inf/NaN at unstable Re; 0*inf = NaN would poison every psum/
+        # pmax for the whole bucket (ADVICE r4 medium #1).
         dy = ys - ystar_l[:, None, None, :]
         cost_per_s = (
             jnp.sum(dy**2, axis=(2, 3)) * dt
             + alpha * jnp.sum(u_sq, axis=2) * dt
         )  # (R, S_local)
-        total_cost = jax.lax.psum(jnp.sum(w * cost_per_s, axis=1), axis)
+        cost_per_s = jnp.where(valid, cost_per_s, 0.0)
+        total_cost = jax.lax.psum(jnp.sum(cost_per_s, axis=1), axis)
         counts = jax.lax.psum(jnp.sum(w, axis=1), axis)  # (R,)
         safe = jnp.maximum(counts, 1.0)
         max_y = jax.lax.pmax(
             jnp.max(
-                w[:, :, None, None] * jnp.abs(ys), axis=(1, 2, 3)
+                jnp.where(valid[:, :, None, None], jnp.abs(ys), 0.0),
+                axis=(1, 2, 3),
             ),
             axis,
         )
         # Terminal tracking error, mean over REAL scenarios per bucket.
         err_t = jax.lax.psum(
             jnp.sum(
-                w * jnp.linalg.norm(dy[:, :, -1, :], axis=-1), axis=1
+                jnp.where(
+                    valid, jnp.linalg.norm(dy[:, :, -1, :], axis=-1), 0.0
+                ),
+                axis=1,
             ),
             axis,
         )

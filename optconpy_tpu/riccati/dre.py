@@ -109,10 +109,27 @@ def load_or_build_inverse_stack(
 
     path = None
     if cache_key is not None:
+        # Cheap operator fingerprint folded into the digest so a caller
+        # whose cache_key under-specifies the problem (dt is folded into
+        # at_til before this call) can never load a mismatched stack
+        # (ADVICE r4 low #3): shapes, nnz, and data checksums of every
+        # operator the build consumes.
+        import scipy.sparse as sp
+
+        def _fp(mat):
+            m = sp.csr_matrix(mat)
+            return (
+                m.shape, int(m.nnz),
+                hashlib.sha256(
+                    np.ascontiguousarray(m.data).tobytes()
+                ).hexdigest()[:16],
+            )
+
         digest = hashlib.sha256(
             repr((
                 cache_key, np.asarray(sig, np.float64).tobytes(),
                 str(np.dtype(dtype)),
+                _fp(at_til_sp), _fp(m_sp), _fp(j_sp),
             )).encode()
         ).hexdigest()[:12]
         d = cache_dir or DEFAULT_CACHE_DIR

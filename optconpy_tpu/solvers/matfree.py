@@ -315,6 +315,24 @@ class SaddleMatfreeCache:
         v = v[self.iperm]
         return v[:, 0] if squeeze else v
 
+    def solve_relres(self, i, rhs: jax.Array) -> tuple:
+        """solve() that ALSO returns the FGMRES relative residual.
+
+        Observability hook (ADVICE r4 medium #2): fgmres returns
+        silently at the cycle cap, so long-lived callers that keep a
+        stale preconditioner (receding-horizon refresh path) must be
+        able to SEE the achieved residual — a degraded preconditioner
+        otherwise degrades accuracy with no signal.
+        """
+        squeeze = rhs.ndim == 1
+        if squeeze:
+            rhs = rhs[:, None]
+        rv = rhs[self.perm]
+        rp = jnp.zeros((self.n_p, rhs.shape[1]), rhs.dtype)
+        v, _, rel = self._solve_perm(jnp.asarray(i, jnp.int32), rv, rp)
+        v = v[self.iperm]
+        return (v[:, 0] if squeeze else v), rel
+
     def solve_smw(
         self, i: jax.Array, u: jax.Array, v: jax.Array, rhs: jax.Array
     ) -> jax.Array:
