@@ -22,6 +22,7 @@ from .dre import (
     build_dre_cache_dae,
     build_dre_cache_dae_krylov,
     build_dre_cache_dae_matfree,
+    build_dre_cache_dae_ns,
     load_or_build_inverse_stack,
     dre_backward_sweep,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "build_dre_cache_dae",
     "build_dre_cache_dae_krylov",
     "build_dre_cache_dae_matfree",
+    "build_dre_cache_dae_ns",
     "load_or_build_inverse_stack",
     "wachspress_shifts",
     "cycled_shifts",

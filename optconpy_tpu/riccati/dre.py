@@ -191,6 +191,42 @@ def build_dre_cache_dae(
     )
 
 
+def build_dre_cache_dae_ns(
+    sys, dt: float, sig: np.ndarray, dtype=jnp.float32,
+    certify_tol: float = 5e-4, kind: str = "auto", verbose=None,
+):
+    """DEVICE-BUILT dense shifted-saddle inverse cache: the MXU-optimal
+    one-GEMM-per-solve ADI tier (SaddleShiftedInverseCache), with the
+    inverse stack constructed on device by Newton-Schulz ladders
+    (solvers/ns_inverse.py) instead of host splu + tunnel transfer.
+
+    This extends the dense tier to config-3 scale: at n = 15,316 the
+    host build + transfer was ~minutes (rounds 1-4 used the matfree
+    FGMRES tier there); the NS build is tens of seconds of device
+    GEMMs with ZERO bulk transfer, and each subsequent ADI solve is
+    one (n, n) GEMM instead of a 30-115-iteration FGMRES solve.
+    HBM budget: len(sig) * n^2 * 4 bytes of velocity-block inverses
+    (e.g. 8 shifts at n=15,316 -> 7.5 GB; callers size num_shifts to
+    the chip).
+
+    Returns (cache, info) — info carries the certified per-shift
+    residuals (build_inverse_stack_ns).
+    """
+    from ..ops.sparse import ell_to_scipy
+    from ..solvers.ns_inverse import build_inverse_stack_ns
+    from ..solvers.saddle import SaddleShiftedInverseCache
+
+    m_sp = ell_to_scipy(sys.mass)
+    a_sp = ell_to_scipy(sys.stiff)
+    j_sp = ell_to_scipy(sys.jmat)
+    at_til = (a_sp.T - m_sp / (2.0 * dt)).tocsr()
+    inv_stack, info = build_inverse_stack_ns(
+        at_til, m_sp, j_sp, np.asarray(sig), dtype=dtype,
+        certify_tol=certify_tol, kind=kind, verbose=verbose,
+    )
+    return SaddleShiftedInverseCache(inv_stack, a_sp.shape[0]), info
+
+
 def build_dre_cache_dae_krylov(
     sys, dt: float, sig: np.ndarray, dtype=None,
     n_iter: int = 30, n_ref: int = 2,

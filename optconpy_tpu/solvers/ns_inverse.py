@@ -182,6 +182,17 @@ def _minv_residual(pack: SaddleOpsPack, x, key):
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _store_vv_block(stack, x, iperm, i):
+    """stack[i] <- velocity block of x, back-permuted to the original
+    dof order. The stack buffer is DONATED so XLA updates it in place:
+    at config-3 scale the stack is ~7.5 GB and a jnp.stack at the end
+    (which copies) OOM'd the 16 GB chip (measured r5)."""
+    n = stack.shape[1]
+    blk = x[:n, :n][iperm][:, iperm]
+    return jax.lax.dynamic_update_index_in_dim(stack, blk, i, 0)
+
+
 @jax.jit
 def _seed_block_inverse(pack: SaddleOpsPack, minv, sp_inv, s_huge):
     """Closed-form [[s M, J^T],[J, 0]]^-1 from M^-1 and the pressure
@@ -303,7 +314,7 @@ def build_inverse_stack_ns(
         out.append(s_to)
         return out
 
-    inv_blocks = [None] * len(sig_np)
+    inv_stack = jnp.zeros((len(sig_np), n, n), dtype)
     residuals = [None] * len(sig_np)
     iperm_d = jnp.asarray(iperm.astype(np.int32))
     s_cur = s_huge
@@ -332,11 +343,12 @@ def build_inverse_stack_ns(
                 f"residual {res:.3e} (certify_tol {certify_tol:.1e})"
             )
         residuals[pos] = res
-        # velocity block, back to ORIGINAL dof ordering
-        inv_blocks[pos] = x[:n, :n][iperm_d][:, iperm_d]
+        # velocity block, back to ORIGINAL ordering, written in place
+        inv_stack = _store_vv_block(
+            inv_stack, x, iperm_d, jnp.int32(pos)
+        )
         log(f"  shift {s_target:12.2f}: residual {res:.2e} "
             f"(+{extra} extra passes)")
-    inv_stack = jnp.stack(inv_blocks)
     jax.block_until_ready(inv_stack)
     info = {
         "residuals": residuals,

@@ -7,7 +7,7 @@ times for the headline throughput metric (VERDICT r1 item 4).
 
 Reports s/macro-step with the honest cost breakdown {rebuild (host
 re-linearization + matfree cache setup), DRE sweep, rollout} and
-writes RECEDING_r04.json (fast refresh variant vs full-rebuild
+writes RECEDING_r05.json (fast refresh variant vs full-rebuild
 reference). Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_receding.py
@@ -84,14 +84,20 @@ def main():
         vs = np.asarray(out["vs"])
         assert np.isfinite(vs).all(), "non-finite states in macro loop"
         tm = out["timings"]
+        keys = (
+            "rebuild_s", "dre_s", "probe_s", "stepper_join_s",
+            "rollout_s", "total_s",
+        )
         mean = {
-            k: float(np.mean([t[k] for t in tm]))
-            for k in ("rebuild_s", "dre_s", "rollout_s", "total_s")
+            k: float(np.mean([t.get(k, 0.0) for t in tm]))
+            for k in keys
         }
         for i, t in enumerate(tm):
             log(
                 f"[{name}] macro {i}: rebuild {t['rebuild_s']:.2f}s, "
-                f"dre {t['dre_s']:.2f}s, rollout {t['rollout_s']:.2f}s, "
+                f"dre {t['dre_s']:.2f}s, probe {t.get('probe_s', 0):.2f}s, "
+                f"join {t.get('stepper_join_s', 0):.2f}s, "
+                f"rollout {t['rollout_s']:.2f}s, "
                 f"total {t['total_s']:.2f}s"
             )
         d0 = np.linalg.norm(vs[:, 0] - vbar[None], axis=1).mean()
@@ -99,7 +105,17 @@ def main():
         # Acceptance (VERDICT r2 item 2): the controlled batch must
         # decay toward the (unstable at Re=100) steady wake.
         assert dT < d0, (dT, d0)
-        steady = float(np.mean([t["total_s"] for t in tm[2:]]))
+        steady_tm = tm[2:]
+        steady = float(np.mean([t["total_s"] for t in steady_tm]))
+        # Device-idle estimate for the steady macros (VERDICT r4 item
+        # 4): the device is busy during the DRE sweep, the relres
+        # probe, and the rollout; the stepper refresh rides a worker
+        # thread. Idle fraction = 1 - busy/total.
+        busy = float(np.mean([
+            t["dre_s"] + t.get("probe_s", 0.0) + t["rollout_s"]
+            for t in steady_tm
+        ]))
+        idle_frac = max(0.0, 1.0 - busy / max(steady, 1e-9))
         return {
             "s_per_macro_step": round(mean["total_s"], 3),
             "steady_state_s_per_macro": round(steady, 3),
@@ -107,8 +123,11 @@ def main():
             "breakdown_s": {
                 "rebuild": round(mean["rebuild_s"], 3),
                 "dre": round(mean["dre_s"], 3),
+                "probe": round(mean["probe_s"], 3),
+                "stepper_join": round(mean["stepper_join_s"], 3),
                 "rollout": round(mean["rollout_s"], 3),
             },
+            "steady_device_idle_frac": round(idle_frac, 3),
             "perturbation_decay": round(float(dT / d0), 4),
             "wall_total_s": round(t_total, 1),
         }, np.asarray(out["ks"])
@@ -155,7 +174,7 @@ def main():
             2,
         ),
     }
-    with open("/root/repo/RECEDING_r04.json", "w") as f:
+    with open("/root/repo/RECEDING_r05.json", "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

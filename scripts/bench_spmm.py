@@ -3,7 +3,9 @@
 weak 5): time einsum-ELL vs Pallas windowed-dense vs Pallas
 windowed-ELL on each config-3 operator (A^T-shifted, M, J, J^T) at the
 matfree solver's working batch widths, on the real chip. Writes
-SPMM_r04.json; pack_for_backend's dispatch policy cites this artifact.
+SPMM_r05.json; pack_for_backend's dispatch policy cites this artifact.
+The r4 harness returned full result arrays, so its recorded numbers
+were dominated by tunnel readback (see the in-loop comment).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_spmm.py [refinement] [batch]
 """
@@ -85,14 +87,24 @@ def main():
                 rel = np.abs(y - y_ref).max() / scale
                 assert rel < 1e-5, (name, kind, rel)
 
+                # Harness notes (r5 correction): the r4 harness
+                # returned the full (m, b) accumulator, so every
+                # timing sample paid a ~8 MB host readback through
+                # the ~10-30 MB/s axon tunnel — SPMM_r04's 18.8
+                # ms/apply was ~75% readback, not kernel time. The
+                # loop now reduces to ONE scalar on device (sum keeps
+                # every output element live so XLA cannot dead-code
+                # or slice-prune the apply) and x stays loop-variant
+                # so nothing hoists.
                 @jax.jit
                 def loop(x, pack=pack, apply_fn=apply_fn):
                     def body(i, acc):
-                        return acc + apply_fn(pack, x + 0.0 * i)
+                        return acc + jnp.sum(
+                            apply_fn(pack, x + 0.0 * i)
+                        )
 
                     return jax.lax.fori_loop(
-                        0, iters, body,
-                        jnp.zeros((a.shape[0], x.shape[1]), x.dtype),
+                        0, iters, body, jnp.zeros((), x.dtype)
                     )
 
                 np.asarray(loop(x))  # compile + run (np barrier)
@@ -132,7 +144,7 @@ def main():
     # every production regime in one file.
     import os
 
-    path = "/root/repo/SPMM_r04.json"
+    path = "/root/repo/SPMM_r05.json"
     acc = {}
     if os.path.exists(path):
         with open(path) as f:

@@ -108,28 +108,77 @@ def main():
         f"pack {type(cache.at_pack).__name__}) {time.time() - t0:.1f}s"
     )
 
-    def run_sweep(alpha):
+    def run_sweep(cache_a, alpha, sigma_seq_a, idx_seq_a):
         zs, ks = dre_backward_sweep(
-            sysd, cache, alpha, DT, NTS_GAIN,
-            jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
+            sysd, cache_a, alpha, DT, NTS_GAIN,
+            jnp.asarray(sigma_seq_a, dtype), jnp.asarray(idx_seq_a),
             n_newton=1, r_max=R_MAX,
         )
         np.asarray(ks)  # host materialization = hard barrier
         return zs, ks
 
     t0 = time.time()
-    zs, ks = run_sweep(ALPHA)  # compile + first run
+    zs_mf, ks_mf = run_sweep(cache, ALPHA, sigma_seq, idx_seq)
     t_dre = time.time() - t0
     adi_iters = NTS_GAIN * N_ADI
     adi_per_s = adi_iters / t_dre
-    log(f"DRE sweep {t_dre:.1f}s ({adi_per_s:.2f} ADI iters/s incl compile)")
+    log(f"matfree DRE sweep {t_dre:.1f}s ({adi_per_s:.2f} ADI iters/s incl compile)")
     # Warm sweep (VERDICT r2 item 4): the per-iteration rate once the
     # Newton-ADI body is compiled — what an MPC macro loop actually pays.
-    t0 = time.time()
-    run_sweep(ALPHA * 1.0001)
-    t_dre_warm = time.time() - t0
+    warm_samples = []
+    for rep in range(3):
+        t0 = time.time()
+        run_sweep(cache, ALPHA * (1 + 1e-4 * (rep + 1)), sigma_seq,
+                  idx_seq)
+        warm_samples.append(time.time() - t0)
+    t_dre_warm = float(np.median(warm_samples))
     adi_per_s_warm = adi_iters / t_dre_warm
-    log(f"warm DRE sweep {t_dre_warm:.1f}s ({adi_per_s_warm:.2f} ADI iters/s)")
+    log(f"warm matfree DRE sweep {t_dre_warm:.1f}s "
+        f"({adi_per_s_warm:.2f} ADI iters/s, median of 3)")
+    del cache  # free the matfree preconditioners before the dense tier
+
+    # --- DENSE Newton-Schulz tier (VERDICT r4 item 1: WIN config 3).
+    # The MXU-optimal one-GEMM-per-solve ADI cache, with the inverse
+    # stack built ON DEVICE by Newton-Schulz ladders
+    # (riccati.build_dre_cache_dae_ns) — no host factorization, no
+    # tunnel transfer. 8 shifts x (n, n) f32 = ~7.5 GB HBM at this n:
+    # sized to leave room for the build transients + rollout. ---
+    from optconpy_tpu.riccati import build_dre_cache_dae_ns
+
+    NS_SHIFTS = 8
+    sig8, sigma_seq8, idx_seq8 = dre_shift_schedule_dae(
+        None, None, None, DT, num_shifts=NS_SHIFTS, n_adi=N_ADI,
+        interval=(a_min, a_max),
+    )
+    t0 = time.time()
+    cache_ns, ns_info = build_dre_cache_dae_ns(
+        sysd, DT, sig8, dtype=dtype, verbose=log,
+    )
+    t_ns_build = time.time() - t0
+    log(f"NS dense stack build {t_ns_build:.1f}s "
+        f"(rungs {ns_info['ladder_rungs']}, worst residual "
+        f"{max(ns_info['residuals']):.2e})")
+    t0 = time.time()
+    zs, ks = run_sweep(cache_ns, ALPHA, sigma_seq8, idx_seq8)
+    t_dre_ns = time.time() - t0
+    log(f"dense-NS DRE sweep {t_dre_ns:.1f}s incl compile")
+    warm_ns_samples = []
+    for rep in range(3):
+        t0 = time.time()
+        run_sweep(cache_ns, ALPHA * (1 + 1e-4 * (rep + 1)),
+                  sigma_seq8, idx_seq8)
+        warm_ns_samples.append(time.time() - t0)
+    t_dre_ns_warm = float(np.median(warm_ns_samples))
+    adi_ns_warm_per_s = adi_iters / t_dre_ns_warm
+    log(f"warm dense-NS DRE sweep {t_dre_ns_warm:.2f}s "
+        f"({adi_ns_warm_per_s:.1f} ADI iters/s, median of 3)")
+    # Gain cross-tier parity: dense-NS vs matfree gains.
+    k_dev = float(
+        np.abs(np.asarray(ks[0]) - np.asarray(ks_mf[0])).max()
+        / max(np.abs(np.asarray(ks_mf[0])).max(), 1e-30)
+    )
+    log(f"gain parity dense-NS vs matfree: {k_dev:.2e}")
+    del cache_ns  # free the 7.5 GB stack before the rollout phase
 
     # Reference-architecture CPU baseline at THIS n (VERDICT r2 item 4):
     # scipy-splu factorizations of the same shifted saddle pencils +
@@ -253,20 +302,38 @@ def main():
         "config": 3,
         "problem": f"cylinder_re{int(RE)}_ref{REFINEMENT}",
         "n_state": int(n),
-        "solver": "matfree_fgmres_blockjacobi_schur",
+        "solver": "dense_ns_inverse (headline) + matfree_fgmres",
         "feasibility_JZ": feas,
         "energy_ratio_T": ratio,
         "energy_ratio_bound": 0.5,
         "worst_dre_residual": worst_res,
         "residual_bound": res_bound,
+        # headline tier: device-built dense inverse stack (NS ladder)
+        "ns_build_s": round(t_ns_build, 1),
+        "ns_shifts": NS_SHIFTS,
+        "ns_stack_residuals": [
+            float(r) for r in ns_info["residuals"]
+        ],
+        "adi_iters_per_s_warm_dense_ns": round(adi_ns_warm_per_s, 2),
+        "dre_sweep_warm_dense_ns_s": round(t_dre_ns_warm, 2),
+        "dense_ns_warm_samples_s": [
+            round(t, 3) for t in warm_ns_samples
+        ],
+        "gain_parity_dense_vs_matfree": k_dev,
+        # matfree FGMRES tier (the large-n path, kept for comparison)
         "adi_iters_per_s_incl_compile": round(adi_per_s, 3),
-        "adi_iters_per_s_warm": round(adi_per_s_warm, 3),
+        "adi_iters_per_s_warm_matfree": round(adi_per_s_warm, 3),
         "cpu_adi_iters_per_s": round(cpu_adi_per_s, 3),
         "cpu_sampling": "median_of_3",
         "host_loadavg_1min": loadavg_1min,
         "fgmres_tol": FGMRES_TOL,
         "fgmres_tol_derivation": "ADI_TRUNCATION_FLOOR/4 (see header)",
-        "adi_warm_vs_cpu": round(adi_per_s_warm / cpu_adi_per_s, 2),
+        "adi_warm_vs_cpu_dense_ns": round(
+            adi_ns_warm_per_s / cpu_adi_per_s, 2
+        ),
+        "adi_warm_vs_cpu_matfree": round(
+            adi_per_s_warm / cpu_adi_per_s, 2
+        ),
         "dre_sweep_s": round(t_dre, 1),
         "dre_sweep_warm_s": round(t_dre_warm, 1),
         "rollout_s": round(t_roll, 2),
