@@ -170,6 +170,16 @@ def optcon_nse(
                     tol=cfg.solver.fgmres_tol,
                     max_cycles=cfg.solver.fgmres_cycles,
                 )
+            elif dre_solver == "inverse_ns":
+                # Dense one-GEMM-per-solve tier with the inverse stack
+                # built ON DEVICE by Newton-Schulz ladders — the r5
+                # config-3 headline path (no host splu, no transfer;
+                # CONFIG3_r05: 127 warm ADI iters/s at n=15,316).
+                from .riccati import build_dre_cache_dae_ns
+
+                cache, _ns_info = build_dre_cache_dae_ns(
+                    sys, dt, sig, dtype=dtype,
+                )
             else:
                 # 'inverse' stacks are disk-cached under the config
                 # hash (riccati.load_or_build_inverse_stack): a warm

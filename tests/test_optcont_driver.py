@@ -112,16 +112,22 @@ def test_driver_solver_tiers_match(run, tmp_path):
     res_lu, _ = run
     y_scale = max(np.abs(res_lu.ys).max(), 1e-30)
     u_scale = max(np.abs(res_lu.us).max(), 1e-30)
-    for tier, tol in (("fused", 1e-9), ("matfree", 1e-6)):
+    for tier, dre_tier, tol in (
+        ("fused", "auto", 1e-9),
+        ("matfree", "auto", 1e-6),
+        # dense tier with the DEVICE-built (Newton-Schulz) inverse
+        # stack — the r5 config-3 headline DRE path.
+        ("fused", "inverse_ns", 1e-5),
+    ):
         solver = dataclasses.replace(
-            CFG.solver, step_solver=tier,
+            CFG.solver, step_solver=tier, dre_solver=dre_tier,
             fgmres_tol=1e-12, fgmres_cycles=12,
         )
         cfg = dataclasses.replace(CFG, solver=solver)
         res = optcon_nse(cfg, cache_dir=str(tmp_path))
         dy = np.abs(res.ys - res_lu.ys).max() / y_scale
         du = np.abs(res.us - res_lu.us).max() / u_scale
-        assert dy < tol and du < tol, (tier, dy, du)
+        assert dy < tol and du < tol, (tier, dre_tier, dy, du)
 
 
 def test_ystar_families():
