@@ -47,7 +47,13 @@ class RHConfig:
     n_newton: int = 1
     r_max: int = 32
     relinearize: bool = True
-    solver: str = "lu"  # 'lu' (dense caches) or 'matfree'
+    # 'lu' (dense caches), 'matfree' (FGMRES everywhere), or
+    # 'dense_ns' (r5): matfree rollout stepper + the dense
+    # one-GEMM-per-solve DRE cache whose inverse stack lives on device
+    # and NS-REFRESHES across re-linearizations (2 Newton-Schulz
+    # passes per shift per macro from the previous inverses) — the
+    # macro-rate path (solvers/ns_inverse.NSShiftStack).
+    solver: str = "lu"
     fgmres_tol: float = 1e-6
     fgmres_cycles: int = 8
     kind: str = "auto"  # matfree SpMM pack: 'windowed' | 'ell' | 'auto'
@@ -166,7 +172,12 @@ def _rebuild_caches_matfree(
                 vbar=jnp.asarray(cond.restrict(vnom_full), dtype),
             )
 
-        dre_new = dre_prev.refresh_operator(at_dre, m_sp=m_pre)
+        from ..solvers.ns_inverse import NSShiftStack
+
+        if isinstance(dre_prev, NSShiftStack):
+            dre_new = dre_prev.refresh(at_dre)
+        else:
+            dre_new = dre_prev.refresh_operator(at_dre, m_sp=m_pre)
         if executor is not None:
             # Pipelined refresh (VERDICT r4 item 4): the STEPPER
             # refresh (host repack + ~10 MB tunnel transfer) rides a
@@ -184,11 +195,19 @@ def _rebuild_caches_matfree(
         batch_hint=batch_hint,
     )
     j_sp = sp.csr_matrix(np_ops["J"])
-    dre_cache = SaddleMatfreeCache.build(
-        at_dre, m_sp, j_sp, np.asarray(sig),
-        schur_offset=-c, dtype=dtype,
-        tol=cfg.fgmres_tol, max_cycles=cfg.fgmres_cycles, kind=cfg.kind,
-    )
+    if cfg.solver == "dense_ns":
+        from ..solvers.ns_inverse import NSShiftStack
+
+        dre_cache = NSShiftStack(
+            at_dre, m_sp, j_sp, np.asarray(sig), dtype=dtype,
+        )
+    else:
+        dre_cache = SaddleMatfreeCache.build(
+            at_dre, m_sp, j_sp, np.asarray(sig),
+            schur_offset=-c, dtype=dtype,
+            tol=cfg.fgmres_tol, max_cycles=cfg.fgmres_cycles,
+            kind=cfg.kind,
+        )
     return stepper, dre_cache
 
 
@@ -276,7 +295,10 @@ def receding_horizon_mpc(
     probe_relres = None
     from concurrent.futures import Future, ThreadPoolExecutor
 
-    pipe_ex = ThreadPoolExecutor(1) if cfg.solver == "matfree" else None
+    pipe_ex = (
+        ThreadPoolExecutor(1)
+        if cfg.solver in ("matfree", "dense_ns") else None
+    )
 
     for macro in range(start_macro, n_macro):
         t_macro0 = _time.time()
@@ -286,7 +308,7 @@ def receding_horizon_mpc(
         # be (cheap-control gains enforce the setpoint aggressively).
         if cfg.relinearize:
             vnom = jnp.mean(v_batch, axis=0)
-        if cfg.solver == "matfree":
+        if cfg.solver in ("matfree", "dense_ns"):
             import dataclasses
 
             force_every = (
@@ -330,8 +352,14 @@ def receding_horizon_mpc(
         n_adi_k = len(sigma_seq)
         if cfg.warm_n_adi is not None and macro > start_macro:
             n_adi_k = min(cfg.warm_n_adi, n_adi_k)
+        from ..solvers.ns_inverse import NSShiftStack
+
+        dre_for_sweep = (
+            dre_cache.cache()
+            if isinstance(dre_cache, NSShiftStack) else dre_cache
+        )
         zs, ks = dre_backward_sweep(
-            sys, dre_cache, cfg.alpha, cfg.dt, cfg.horizon,
+            sys, dre_for_sweep, cfg.alpha, cfg.dt, cfg.horizon,
             jnp.asarray(sigma_seq[:n_adi_k], dtype),
             jnp.asarray(idx_seq[:n_adi_k]),
             n_newton=cfg.n_newton, r_max=cfg.r_max, k_init=k_prev,
@@ -343,7 +371,9 @@ def receding_horizon_mpc(
             jax.block_until_ready(k_now)
             t_dre = _time.time() - t_dre0
         t_probe = 0.0
-        if cfg.solver == "matfree":
+        if cfg.solver == "dense_ns":
+            probe_relres = None  # no FGMRES in the dense DRE tier
+        elif cfg.solver == "matfree":
             # Staleness probe (ADVICE r4 medium #2): one solve on the
             # hardest (smallest-|shift|) pencil, relres surfaced. If
             # the kept preconditioner degraded enough that FGMRES hit
@@ -358,7 +388,7 @@ def receding_horizon_mpc(
             need_precond_refresh = (
                 probe_relres > cfg.relres_refresh_factor * cfg.fgmres_tol
             )
-        if cfg.solver == "matfree":
+        if cfg.solver in ("matfree", "dense_ns"):
             import dataclasses
 
             t_join0 = _time.time()

@@ -183,6 +183,12 @@ def _minv_residual(pack: SaddleOpsPack, x, key):
 
 
 @partial(jax.jit, donate_argnums=(0,))
+def _store_full_block(stack, x, i):
+    """stack[i] <- x (full permuted saddle inverse), in place."""
+    return jax.lax.dynamic_update_index_in_dim(stack, x, i, 0)
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def _store_vv_block(stack, x, iperm, i):
     """stack[i] <- velocity block of x, back-permuted to the original
     dof order. The stack buffer is DONATED so XLA updates it in place:
@@ -226,6 +232,7 @@ def build_inverse_stack_ns(
     certify_tol: float = 5e-4,
     kind: str = "auto",
     verbose=None,
+    keep_full: bool = False,
 ):
     """Build the (J, n, n) shifted-saddle velocity-block inverse stack
     ON DEVICE. Same output contract as
@@ -315,6 +322,9 @@ def build_inverse_stack_ns(
         return out
 
     inv_stack = jnp.zeros((len(sig_np), n, n), dtype)
+    full_stack = (
+        jnp.zeros((len(sig_np), nn, nn), dtype) if keep_full else None
+    )
     residuals = [None] * len(sig_np)
     iperm_d = jnp.asarray(iperm.astype(np.int32))
     s_cur = s_huge
@@ -347,6 +357,10 @@ def build_inverse_stack_ns(
         inv_stack = _store_vv_block(
             inv_stack, x, iperm_d, jnp.int32(pos)
         )
+        if keep_full:
+            full_stack = _store_full_block(
+                full_stack, x, jnp.int32(pos)
+            )
         log(f"  shift {s_target:12.2f}: residual {res:.2e} "
             f"(+{extra} extra passes)")
     jax.block_until_ready(inv_stack)
@@ -359,4 +373,101 @@ def build_inverse_stack_ns(
         "ladder_rungs": n_rungs,
         "build_s": time.time() - t_all,
     }
+    if keep_full:
+        info["full_stack"] = full_stack
+        info["pack"] = pack
+        info["perm"] = perm
+        info["iperm"] = iperm
+        info["p_perm"] = p_perm
     return inv_stack, info
+
+
+@partial(jax.jit, static_argnames=("passes",))
+def _refresh_shift(pack: SaddleOpsPack, s, x_full, iperm, passes: int):
+    """NS-refresh one shift's FULL inverse about refreshed operator
+    values: `passes` Newton-Schulz passes from the previous inverse
+    (re-linearization drift is a small operator perturbation —
+    measured rho ~ O(1e-2..1e-1) per MPC macro step, so 2 passes
+    reach the f32 floor). Returns (x_full_new, vv_block_original)."""
+    for _ in range(passes):
+        x_full = _ns_pass_saddle(pack, s, x_full)
+    n = iperm.shape[0]
+    vv = x_full[:n, :n][iperm][:, iperm]
+    return x_full, vv
+
+
+class NSShiftStack:
+    """Receding-horizon helper: a device-resident stack of FULL
+    shifted-saddle inverses that REFRESHES in place across MPC
+    re-linearizations (2 NS passes per shift per macro) and exposes
+    the dense-ADI cache view (SaddleShiftedInverseCache contract).
+
+    Memory: keeps (J, n+np, n+np) full inverses (the NS iterates) plus
+    the (J, n, n) velocity-block view — sized for config-4 scale
+    (n ~ 4.4k: ~0.8 + 0.6 GB), NOT for config-3 (use
+    build_inverse_stack_ns without keep_full there).
+    """
+
+    def __init__(self, at_sp, m_sp, j_sp, sig, dtype=jnp.float32,
+                 kind: str = "ell", certify_tol: float = 5e-4,
+                 verbose=None):
+        inv_stack, info = build_inverse_stack_ns(
+            at_sp, m_sp, j_sp, sig, dtype=dtype, kind=kind,
+            certify_tol=certify_tol, verbose=verbose, keep_full=True,
+        )
+        self.sig = np.asarray(sig, np.float64)
+        self.dtype = dtype
+        self.kind = kind
+        self.vv = inv_stack
+        self.full = info["full_stack"]
+        self.pack = info["pack"]
+        self.perm = info["perm"]
+        self.iperm_d = jnp.asarray(info["iperm"].astype(np.int32))
+        self.p_perm = info["p_perm"]
+        self.residuals = info["residuals"]
+        self.n = self.vv.shape[1]
+
+    def cache(self):
+        from .saddle import SaddleShiftedInverseCache
+
+        return SaddleShiftedInverseCache(self.vv, self.n)
+
+    def refresh(self, at_sp_new, passes: int = 2,
+                certify: bool = False):
+        """Value-refresh for a re-linearized operator (same pattern /
+        orderings): repack at, then `passes` NS passes per shift from
+        the previous inverses. Returns self (mutated)."""
+        import dataclasses
+
+        import scipy.sparse as sp
+
+        from ..ops.pallas_spmm import pack_for_backend
+
+        at_r = sp.csr_matrix(at_sp_new)[self.perm][:, self.perm].tocsr()
+        self.pack = dataclasses.replace(
+            self.pack,
+            at_pack=pack_for_backend(at_r, self.dtype, kind=self.kind),
+        )
+        key = jax.random.PRNGKey(3)
+        for i, s in enumerate(self.sig):
+            s_d = jnp.asarray(s, self.dtype)
+            x_new, vv = _refresh_shift(
+                self.pack, s_d,
+                jax.lax.dynamic_index_in_dim(
+                    self.full, i, keepdims=False
+                ),
+                self.iperm_d, passes,
+            )
+            self.full = _store_full_block(self.full, x_new, jnp.int32(i))
+            self.vv = _store_full_block(self.vv, vv, jnp.int32(i))
+            if certify:
+                key, kp = jax.random.split(key)
+                res = float(_residual_probe(
+                    self.pack, s_d,
+                    jax.lax.dynamic_index_in_dim(
+                        self.full, i, keepdims=False
+                    ),
+                    kp,
+                ))
+                self.residuals[i] = res
+        return self

@@ -143,13 +143,25 @@ def main():
         horizon=8, apply=8, dt=DT, alpha=ALPHA, n_newton=1, r_max=32,
         solver="matfree", refresh_caches=True, warm_n_adi=8,
     )
+    # dense_ns (r5): the device NS-refreshed dense DRE stack — the
+    # macro-rate variant (one GEMM per ADI solve, 2 NS passes per
+    # shift per macro instead of FGMRES everywhere).
+    cfg_dense = RHConfig(
+        horizon=8, apply=8, dt=DT, alpha=ALPHA, n_newton=1, r_max=32,
+        solver="dense_ns", refresh_caches=True, warm_n_adi=8,
+    )
     res_full, ks_full = run_variant("full", cfg_full)
     res_fast, ks_fast = run_variant("fast", cfg_fast)
-    # Gain fidelity of the fast path vs the full path, per macro step.
+    res_dense, ks_dense = run_variant("dense_ns", cfg_dense)
+    # Gain fidelity of the fast paths vs the full path, per macro step.
     gain_dev = float(
         np.abs(ks_fast - ks_full).max() / np.abs(ks_full).max()
     )
-    log(f"fast-vs-full gain rel dev {gain_dev:.2e}")
+    gain_dev_dense = float(
+        np.abs(ks_dense - ks_full).max() / np.abs(ks_full).max()
+    )
+    log(f"fast-vs-full gain rel dev {gain_dev:.2e}; "
+        f"dense_ns-vs-full {gain_dev_dense:.2e}")
 
     result = {
         "config": 4,
@@ -159,18 +171,20 @@ def main():
         "n_macro": N_MACRO,
         "horizon": cfg_fast.horizon,
         "apply": cfg_fast.apply,
-        "solver": "matfree",
-        **res_fast,
+        "solver": "dense_ns (headline) / matfree / full-rebuild",
+        **res_dense,
+        "matfree_refresh_variant": res_fast,
         "full_rebuild_variant": res_full,
         "warm_n_adi": cfg_fast.warm_n_adi,
         "gain_rel_dev_fast_vs_full": gain_dev,
+        "gain_rel_dev_dense_ns_vs_full": gain_dev_dense,
         "speedup_vs_full_rebuild": round(
-            res_full["s_per_macro_step"] / res_fast["s_per_macro_step"],
-            2,
+            res_full["s_per_macro_step"]
+            / res_dense["s_per_macro_step"], 2,
         ),
         "steady_speedup_vs_full_rebuild": round(
             res_full["steady_state_s_per_macro"]
-            / res_fast["steady_state_s_per_macro"],
+            / res_dense["steady_state_s_per_macro"],
             2,
         ),
     }

@@ -292,3 +292,54 @@ def test_receding_matfree_matches_lu(cavity):
         scale = np.abs(a - (vbar[None, None] if key == "vs" else 0)).max()
         rel = np.abs(b - a).max() / max(scale, 1e-30)
         assert rel < 1e-6, (key, rel)
+
+
+def test_dense_ns_matches_matfree_receding():
+    """RHConfig.solver='dense_ns' (device NS-refreshed dense DRE
+    stack, r5) reproduces the matfree receding loop's gains and
+    trajectories to solver precision on the cavity NSE."""
+    import jax.numpy as jnp
+
+    from optconpy_tpu.fem.device_conv import ConvKernel
+    from optconpy_tpu.models import cavity_stokes_setup
+    from optconpy_tpu.mpc import RHConfig, receding_horizon_mpc
+    from optconpy_tpu.riccati import dre_shift_schedule_dae
+    from optconpy_tpu.solvers.steady import solve_steady_nse_host
+
+    np_ops, dsys64, cond = cavity_stokes_setup(nx=4)
+    np_ops["vbar_full"], _ = solve_steady_nse_host(
+        np_ops["full"], cond
+    )
+    dsys = dsys64.astype(jnp.float64)
+    dt, alpha = 0.02, 1e-6
+    sig, sseq, iseq = dre_shift_schedule_dae(
+        np_ops["A"], np_ops["M"], np_ops["J"], dt,
+        num_shifts=3, n_adi=6,
+    )
+    conv = ConvKernel.build(np_ops["full"], cond, dtype=jnp.float64)
+    n = dsys.n
+    rng = np.random.default_rng(0)
+    vbar = cond.restrict(np_ops["vbar_full"])
+    v0 = jnp.asarray(vbar[None] + 1e-3 * rng.standard_normal((4, n)))
+    outs = {}
+    for solver in ("matfree", "dense_ns"):
+        cfg = RHConfig(
+            horizon=3, apply=3, dt=dt, alpha=alpha, n_newton=1,
+            r_max=8, solver=solver, kind="ell", warm_n_adi=4,
+            fgmres_tol=1e-10, fgmres_cycles=12,
+        )
+        outs[solver] = receding_horizon_mpc(
+            dsys, conv, np_ops, cond, cfg, sig, sseq, iseq, v0,
+            n_macro=3,
+        )
+        assert np.isfinite(np.asarray(outs[solver]["vs"])).all()
+    kd = np.abs(
+        np.asarray(outs["dense_ns"]["ks"])
+        - np.asarray(outs["matfree"]["ks"])
+    ).max() / max(np.abs(np.asarray(outs["matfree"]["ks"])).max(), 1e-30)
+    vd = np.abs(
+        np.asarray(outs["dense_ns"]["vs"])
+        - np.asarray(outs["matfree"]["vs"])
+    ).max() / np.abs(np.asarray(outs["matfree"]["vs"])).max()
+    assert kd < 1e-6, kd
+    assert vd < 1e-8, vd
