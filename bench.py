@@ -227,15 +227,18 @@ def main() -> None:
         dtype,
     )
 
-    # SPLIT PRECISION POLICY (VERDICT r3 item 3, PRECISION_r04.json):
+    # SPLIT PRECISION POLICY (VERDICT r3 item 3, PRECISION_r05.json):
     # the DRE/gain path stays at 'highest' (6-pass f32; the GAINQ 1e-4
     # gain-fidelity bound is tight), while the ROLLOUT GEMMs run at
     # 'high' (3-pass): measured closed-loop output deviation vs the
-    # f64 reference of the same recurrence is 9.6e-5 over the 64-step
-    # horizon — inside the 1e-4 north-star bound — at ~1.35x the
-    # throughput. 'default' (1-pass bf16) measured 9.9e-4: FAILS the
-    # bound and stays rejected; the decision is evidence-based, not a
-    # speed grab.
+    # f64 reference of the same recurrence is ~9.3e-5 over THIS
+    # 64-step horizon (also re-measured in-run below) — inside the
+    # 1e-4 north-star bound — at ~1.35x the throughput. 'default'
+    # (1-pass bf16) measured 9.9e-4: FAILS the bound and stays
+    # rejected. HORIZON CAVEAT (r5): the measured horizon curve shows
+    # 'high' drifting past 1e-4 at 200 steps (2.9e-4) — long-horizon
+    # runs (config 5) stay on 'highest' (PRECISION_r05
+    # high_tier_horizon_curve).
     ROLLOUT_PREC = "high"
 
     def run():

@@ -470,11 +470,18 @@ def build_sweep_steppers_ns_chain(
 
     from ..fem.taylor_hood import convection_matrices
 
+    import sys as _sys
+    import time as _time
+
+    def _log(m):
+        print(m, file=_sys.stderr, flush=True)
+
     steppers = []
     residuals = []
     key = jax.random.PRNGKey(0)
     x_prev = None
     for r, (np_ops, _sys64, cond) in enumerate(setups):
+        t_b0 = _time.time()
         l1_sp, _ = convection_matrices(
             np_ops["full"], np_ops["vbar_full"]
         )
@@ -482,6 +489,7 @@ def build_sweep_steppers_ns_chain(
         big_sp = assemble_big(np_ops, cond, l1_sp)
         big_ell = ell_from_scipy(big_sp, pad_to=8, dtype=np.float32)
         big_d = big_ell.todense().astype(dtype)  # densified ON device
+        t_asm = _time.time() - t_b0
 
         if r == 0:
             # Seed: host f64 sparse-LU inverse, shipped ONCE as bf16
@@ -492,6 +500,7 @@ def build_sweep_steppers_ns_chain(
             x = _ns_refine_dense(x.astype(dtype), big_d, seed_passes)
         else:
             x = _ns_refine_dense(x_prev, big_d, ns_passes)
+        t_ns = _time.time() - t_b0 - t_asm
         key, sub = jax.random.split(key)
         res = float(_inv_residual_probe(x, big_d, sub))
         assert res < certify_tol, (
@@ -502,6 +511,7 @@ def build_sweep_steppers_ns_chain(
         x_prev = x
         del big_d
 
+        t_l1 = _time.time()
         steppers.append(NSEStepCache(
             lu=SaddleInverse(x, n),
             l1_imp=l1_device(np_ops).astype(dtype),
@@ -512,6 +522,12 @@ def build_sweep_steppers_ns_chain(
             ),
             rhs_half=None,
         ))
+        jax.block_until_ready(steppers[-1].l1_imp)
+        _log(
+            f"  [ns-chain] bucket {r}: assemble {t_asm:.1f}s, "
+            f"ns+probe {t_ns + (t_l1 - t_b0 - t_asm - t_ns):.1f}s, "
+            f"l1_device {_time.time() - t_l1:.1f}s, res {res:.1e}"
+        )
     return steppers, residuals
 
 

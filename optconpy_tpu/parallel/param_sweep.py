@@ -86,7 +86,14 @@ def build_sweep_gains_and_caches(
     # builds/transfers and raise peak host+device memory (ADVICE r4
     # low #4), so that tier submits each bucket's stepper only after
     # its DRE cache is freed.
+    import sys as _sys
+    import time as _time
+
+    def _log(m):
+        print(m, file=_sys.stderr, flush=True)
+
     overlap_all = dre_solver == "matfree"
+    t_all0 = _time.time()
     with ThreadPoolExecutor(2) as ex:
         if solver == "inverse_ns":
             # One worker runs the whole Newton-Schulz chain (device
@@ -109,11 +116,13 @@ def build_sweep_gains_and_caches(
                 for np_ops, _sys64, cond in setups
             ] if overlap_all else [None] * len(setups)
         for i, (np_ops, sys64, cond) in enumerate(setups):
+            t_b0 = _time.time()
             sys = sys64.astype(dtype)
             sig, sigma_seq, idx_seq = dre_shift_schedule_dae(
                 np_ops["A"], np_ops["M"], np_ops["J"], dt,
                 num_shifts=num_shifts, n_adi=n_adi, interval=interval,
             )
+            t_shift = _time.time() - t_b0
             if dre_solver == "matfree":
                 dre_cache = build_dre_cache_dae_matfree(
                     sys, dt, sig, dtype=dtype
@@ -125,6 +134,7 @@ def build_sweep_gains_and_caches(
                         None if cache_keys is None else cache_keys[i]
                     ),
                 )
+            t_cache = _time.time() - t_b0 - t_shift
             _, ks = dre_backward_sweep(
                 sys, dre_cache, alpha, dt, nts_gain,
                 jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
@@ -132,17 +142,27 @@ def build_sweep_gains_and_caches(
             )
             gains.append(ks[0])
             del dre_cache  # free per-shift factors before the next bucket
+            _log(
+                f"  [sweep] bucket {i}: shifts {t_shift:.1f}s, "
+                f"dre-cache {t_cache:.1f}s, sweep "
+                f"{_time.time() - t_b0 - t_shift - t_cache:.1f}s"
+            )
             if not overlap_all and solver != "inverse_ns":
                 stepper_futs[i] = ex.submit(
                     build_nse_stepper, np_ops, cond, dt,
                     dtype=dtype, solver=solver,
                 )
+        t_gains_done = _time.time() - t_all0
         if ns_fut is not None:
             caches, ns_residuals = ns_fut.result()
             if info is not None:
                 info["ns_residuals"] = ns_residuals
         else:
             caches = [f.result() for f in stepper_futs]
+        _log(
+            f"  [sweep] gains loop {t_gains_done:.1f}s, stepper join "
+            f"+{_time.time() - t_all0 - t_gains_done:.1f}s"
+        )
     cache_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
     return cache_stack, jnp.stack(gains)
 

@@ -184,11 +184,10 @@ def main():
     for nts_h in (64, 200, 500):
         ks_h = jnp.broadcast_to(k0, (nts_h + 1, m, n))
         ws_h = jnp.zeros((nts_h + 1, n), dtype)
-        with jax.default_matmul_precision("high"):
-            _, _, ys_h = batched_nse_closed_loop(
-                sys, conv, step_cache, ks_h, ws_h, v0_h, ALPHA, DT
-            )
-        ys_h = np.asarray(ys_h)
+        # f64 reference once per horizon, compared against BOTH tiers:
+        # 'high' is the bench-horizon (64-step) production tier;
+        # 'highest' is what long-horizon runs (config 5's 200 steps)
+        # must use if 'high' drifts past the 1e-4 bound.
         v_r = np.asarray(v0_h, np.float64)
         ys_r = [v_r @ cnp.T]
         t0 = time.time()
@@ -202,15 +201,24 @@ def main():
             )
             ys_r.append(v_r @ cnp.T)
         ys_r = np.stack(ys_r, axis=1)
-        dev = float(np.abs(ys_h - ys_r).max() / np.abs(ys_r).max())
-        horizon_curve[str(nts_h)] = {
-            "rel_dev_vs_f64": dev,
-            "finite": bool(np.isfinite(ys_h).all()),
-        }
-        log(
-            f"horizon {nts_h:4d} ('high'): dev_vs_f64 {dev:.2e} "
-            f"(f64 ref {time.time() - t0:.1f}s)"
-        )
+        t_ref = time.time() - t0
+        entry = {}
+        for prec in ("high", "highest"):
+            with jax.default_matmul_precision(prec):
+                _, _, ys_h = batched_nse_closed_loop(
+                    sys, conv, step_cache, ks_h, ws_h, v0_h, ALPHA, DT
+                )
+            ys_h = np.asarray(ys_h)
+            dev = float(np.abs(ys_h - ys_r).max() / np.abs(ys_r).max())
+            entry[prec] = {
+                "rel_dev_vs_f64": dev,
+                "finite": bool(np.isfinite(ys_h).all()),
+            }
+            log(
+                f"horizon {nts_h:4d} ({prec:7s}): dev_vs_f64 {dev:.2e}"
+                f" (f64 ref {t_ref:.1f}s)"
+            )
+        horizon_curve[str(nts_h)] = entry
 
     out = {
         "experiment": "rollout_matmul_precision",

@@ -140,6 +140,12 @@ def main():
 
     mesh = Mesh(np.asarray(jax.devices()[:1]), ("scenario",))
 
+    # PRECISION POLICY: this 200-step rollout runs at the session
+    # default 'highest' (utils.setup). The faster 'high' tier is
+    # certified ONLY to the 64-step bench horizon: the measured
+    # horizon curve (PRECISION_r05 high_tier_horizon_curve) shows
+    # 'high' drifting past the 1e-4 fidelity bound at 200 steps
+    # (2.9e-4) while 'highest' stays orders inside it.
     def run():
         ys, stats = sharded_sweep_rollout(
             mesh, sysd, conv, cache_stack, ks, v0, ALPHA, DT, NTS,
