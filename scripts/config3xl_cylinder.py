@@ -27,11 +27,25 @@ DT = 0.01
 NTS_GAIN = 4
 NTS_ROLL = 20
 ALPHA = 1e-4
-R_MAX = 32
-N_SHIFTS = 6
-N_ADI = 12
+# r5 schedule: the r4-era (6 shifts, 12 ADI, r_max 32) schedule FAILED
+# the residual certification this script now runs (mid-sweep projected
+# DRE residual 1.68e-2 vs the 1e-2 bound at n=31,282) — outer ADI
+# truncation, not FGMRES (probe relres ~1e-7). Wider schedule restores
+# the budget.
+R_MAX = 40
+N_SHIFTS = 8
+N_ADI = 16
 S_BATCH = 8
-FGMRES_TOL = 1e-6
+# Inner tolerance DERIVED from the outer budget (config3 doctrine),
+# with a twist this size class exposed (r5, two measured runs): the
+# inner tol binds TWO outer quantities — the projected DRE residual
+# floor (~3.3e-3 here; tol 1e-6 overshoots it 3000x) AND the factor
+# feasibility |J Z|/|Z| (which tracks the inner tol ~1:1 — a 4e-4
+# run measured feas 3.9e-4, FAILING the 1e-4 bound the r4 constant
+# easily met). The binding constraint is feasibility: tol =
+# feas_bound / 2.
+FEASIBILITY_BOUND = 1e-4
+FGMRES_TOL = FEASIBILITY_BOUND / 2.0  # 5e-5: feasibility-bound
 
 
 def main():
@@ -112,11 +126,13 @@ def main():
     # WARM rate (VERDICT r4 item 5: the r4 artifact only recorded the
     # compile-inclusive number).
     t0 = time.time()
-    dre_backward_sweep(
+    _, ks_w = dre_backward_sweep(
         sysd, cache, ALPHA * 1.0001, DT, NTS_GAIN,
         jnp.asarray(sigma_seq, dtype), jnp.asarray(idx_seq),
         n_newton=1, r_max=R_MAX,
     )
+    np.asarray(ks_w)  # host materialization = hard barrier (the
+    # tunnel runtime returns from dispatch before execution)
     t_dre_warm = time.time() - t0
     adi_warm_per_s = adi_iters / t_dre_warm
     log(f"warm DRE sweep {t_dre_warm:.1f}s ({adi_warm_per_s:.2f} ADI iters/s)")
