@@ -5,7 +5,7 @@ n_adi=24 over 6 shifts, n_newton=1 warm-started, r_max=32) on the
 TPU, then measure the projected generalized-Riccati residual of the
 resulting factors in f64 on the host (riccati/validate.py). Also runs
 an f64 CPU sweep at the same parameters and reports the f32-vs-f64
-gain deviation. Writes GAINQ_r04.json. Run:
+gain deviation. Writes GAINQ_r05.json. Run:
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/validate_gains.py
 """
@@ -104,7 +104,7 @@ def main():
         "f32_vs_f64_gain_dev": k0_dev,
         "pass": bool(worst < RESIDUAL_BOUND),
     }
-    with open("/root/repo/GAINQ_r04.json", "w") as f:
+    with open("/root/repo/GAINQ_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     assert worst < RESIDUAL_BOUND, (
