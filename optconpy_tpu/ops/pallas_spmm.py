@@ -24,8 +24,21 @@ backends. A WindowedELL gather variant (per-slot jnp.take from the
 VMEM window) existed through round 3 but was DELETED in round 4 by
 measurement: its Mosaic gather rule rejects every production shape on
 the real chip ("Shape mismatch in input, indices and output" at
-refinement 1 AND 2 — SPMM_r04.json lowering_errors), so it only ever
-ran under the CPU interpreter.
+refinement 1 AND 2 — recorded lowering_errors), so it only ever ran
+under the CPU interpreter.
+
+MEASUREMENT CORRECTION (r5, SPMM_r05.json): the r4 timing harness
+returned full (m, b) result arrays, so every sample paid a ~8 MB host
+readback through the ~10-30 MB/s axon tunnel — SPMM_r04's recorded
+18.8 ms/apply for the refinement-2 At operator was ~75% readback. The
+corrected scalar-reduction harness measures this kernel at 0.97
+ms/apply there (einsum-ELL 2.8 ms). Within-run A/Bs across kernel
+structures (VMEM-resident X, double-buffered DMA, pencil-fused
+At+sigma*M, tile_m sweeps) all converge to a per-op floor of ~1.3-3
+ms on this runtime that is insensitive to kernel design — the
+performance lever at these sizes is OP COUNT (see
+solvers/ns_inverse.py: the dense one-GEMM-per-solve tier), not
+further sparse-kernel tuning.
 """
 from __future__ import annotations
 
@@ -271,16 +284,15 @@ def pack_for_backend(
     criterion, not single-op microbenches:
 
       * square operators and tall rectangulars (A^T class, mass, J^T):
-        windowed-dense. The b=104 single-op numbers in SPMM_r04.json
-        showed einsum-ELL marginally ahead for the mass/J^T classes,
-        but swapping them inside the config-3 FGMRES solve regressed
-        it 2x (A/B at cylinder ref2, q=40 working width: 272 -> 131
-        ms/solve with windowed) — the solver's column blocks are
-        lane-padded to 128 where the windowed MXU tiles win;
+        windowed-dense. Confirmed by the corrected r5 harness
+        (SPMM_r05: ref2 At 0.97 vs 2.81 ms, M 0.95 vs 1.82, Jt 1.05
+        vs 1.30) AND by the round-4 end-to-end config-3 FGMRES A/B
+        (swapping the mass/J^T classes to einsum regressed the solve
+        2x at q=40 working width);
       * wide rectangulars (J: pressure rows over velocity columns):
-        einsum-ELL — J's windowed pack remote-compile-failed at
-        refinement 2 (wide windows) while einsum stayed correct and
-        fastest there (3.2 ms, SPMM_r04).
+        einsum-ELL — J's windowed pack remote-compile-fails at
+        refinement 2 (wide windows; re-confirmed r5) while einsum
+        stays correct and fast there (1.0 ms, SPMM_r05).
 
     kind: 'auto' | 'windowed' | 'ell' ('auto' applies the table above
     on TPU, einsum-ELL elsewhere; it respects an explicitly pinned
